@@ -1,0 +1,21 @@
+"""Data layer: WAV I/O, VoiceBank-DEMAND dataset, bucketed loader,
+host preprocessing and on-device featurization/augmentation."""
+
+from .augmentation import (  # noqa: F401
+    AudioAugmenter,
+    SpecAugmentConfig,
+    SpectrogramAugmenter,
+    spec_augment,
+    spec_augment_batch,
+)
+from .dataset import (  # noqa: F401
+    DataLoader,
+    VoiceBankDataset,
+    bucket_for_frames,
+    collate_waveforms,
+    get_data_loader,
+    pair_files,
+)
+from .pipeline import FeaturizedBatch, featurize_batch, minmax_normalize  # noqa: F401
+from .preprocessing import AudioPreprocessor  # noqa: F401
+from .wavio import load_audio, save_wav  # noqa: F401

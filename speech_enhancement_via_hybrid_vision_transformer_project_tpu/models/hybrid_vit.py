@@ -1,0 +1,283 @@
+"""Hybrid CNN-ViT speech-enhancement model (flax).
+
+TPU-native re-design of the reference architecture (reference:
+models/hybrid_vit.py:21-525): CNN encoder -> conv patchify -> learned
+pos-emb -> pre-norm ViT -> token->feature projection -> CNN decoder with
+U-Net skips -> Tanh head -> bilinear resize back to the input [F, T].
+
+Layout is NHWC ([B, F, T, C]); masks for padded frames are supported but
+off by default to match reference semantics (SURVEY.md §7.8).
+
+Signal flow at default config (cf. SURVEY.md §1):
+  [B,257,T,1] -> enc [B,128,T/2,64] -> [B,64,T/4,128] -> [B,64,T/4,256]
+  -> patchify k4s4 -> [B, 16*(T/16), 512] -> 6x ViT -> Linear 512->256
+  -> [B,16,T/16,256] -> dec (x1,x2,x2,x1 upsample, skips) -> [B,64,T/4,1]
+  -> bilinear resize -> [B,257,T,1], values in [-1,1] (Tanh).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear
+from .attention import VisionTransformer
+from .components import (
+    ConvBlock,
+    PatchEmbedding,
+    PositionalEncoding,
+    TransposeConvBlock,
+    dense_kernel_init,
+)
+
+Array = jax.Array
+
+
+class HybridViT(nn.Module):
+    """Hybrid Vision Transformer for magnitude-spectrogram denoising."""
+
+    input_channels: int = 1
+    output_channels: int = 1
+    encoder_channels: Sequence[int] = (64, 128, 256)
+    encoder_kernel_sizes: Sequence[int] = (3, 3, 3)
+    encoder_pool_sizes: Sequence[int] = (2, 2, 1)
+    embed_dim: int = 512
+    num_heads: int = 8
+    num_layers: int = 6
+    mlp_ratio: float = 4.0
+    patch_size: int = 4
+    decoder_channels: Sequence[int] = (256, 128, 64, 1)
+    decoder_kernel_sizes: Sequence[int] = (3, 3, 3, 3)
+    decoder_upsample_factors: Sequence[int] = (1, 2, 2, 1)
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+    drop_path_rate: float = 0.1
+    use_skip_connections: bool = True
+    use_cls_token: bool = False
+    max_patches: int = 10000
+    use_pallas_attention: bool = True
+    compute_dtype: Any = jnp.float32  # bf16 for mixed-precision training
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        mask: Optional[Array] = None,
+        train: bool = False,
+        return_attentions: bool = False,
+    ):
+        """Enhance a normalized magnitude spectrogram.
+
+        Args:
+          x: ``[B, F, T, C]`` (NHWC) normalized magnitudes.
+          mask: optional ``[B, N]`` patch-validity mask for padded frames.
+          train: enables BN batch stats, dropout and stochastic depth.
+          return_attentions: also return per-layer attention maps.
+
+        Returns:
+          ``[B, F, T, C_out]`` enhanced spectrogram in [-1, 1].
+        """
+        in_f, in_t = x.shape[1], x.shape[2]
+        x = x.astype(self.compute_dtype)
+
+        # ===== 1. CNN encoder (skips saved after every block) =====
+        skips: List[Array] = []
+        for i, (ch, k, p) in enumerate(
+            zip(
+                self.encoder_channels,
+                self.encoder_kernel_sizes,
+                self.encoder_pool_sizes,
+            )
+        ):
+            x = ConvBlock(
+                features=ch,
+                kernel_size=k,
+                pool_size=p if p > 1 else None,
+                activation="relu",
+                use_batchnorm=True,
+                dropout=self.dropout,
+                bn_axis_name=self.bn_axis_name,
+                name=f"encoder_{i}",
+            )(x, train=train)
+            skips.append(x)
+
+        # ===== 2. Patchify =====
+        patches, spatial = PatchEmbedding(
+            embed_dim=self.embed_dim,
+            patch_size=self.patch_size,
+            name="patch_embed",
+        )(x)
+
+        # ===== 3. Optional CLS token =====
+        if self.use_cls_token:
+            cls = self.param(
+                "cls_token",
+                nn.initializers.truncated_normal(stddev=0.02),
+                (1, 1, self.embed_dim),
+            ).astype(patches.dtype)
+            patches = jnp.concatenate(
+                [jnp.broadcast_to(cls, (patches.shape[0], 1, self.embed_dim)), patches],
+                axis=1,
+            )
+            if mask is not None:
+                ones = jnp.ones((mask.shape[0], 1), mask.dtype)
+                mask = jnp.concatenate([ones, mask], axis=1)
+
+        # ===== 4. Positional encoding + transformer =====
+        tokens = PositionalEncoding(
+            embed_dim=self.embed_dim,
+            max_len=self.max_patches,
+            learnable=True,
+            dropout=self.dropout,
+            name="pos_encoding",
+        )(patches, train=train)
+
+        transformer = VisionTransformer(
+            embed_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=True,
+            dropout=self.dropout,
+            attn_dropout=self.attn_dropout,
+            drop_path_rate=self.drop_path_rate,
+            use_pallas=self.use_pallas_attention,
+            name="transformer",
+        )
+        attentions = None
+        if return_attentions:
+            tokens, attentions = transformer(
+                tokens, mask=mask, train=train, return_all_attentions=True
+            )
+        else:
+            tokens = transformer(tokens, mask=mask, train=train)
+
+        if self.use_cls_token:
+            tokens = tokens[:, 1:, :]
+
+        # ===== 5. Tokens -> feature map =====
+        feat = nn.Dense(
+            self.encoder_channels[-1],
+            kernel_init=dense_kernel_init,
+            name="to_feature_map",
+        )(tokens)
+        h, w = spatial
+        x = feat.reshape(feat.shape[0], h, w, feat.shape[-1])
+
+        # ===== 6. CNN decoder with U-Net skips =====
+        # skip i (deep-to-shallow) projected by 1x1 conv then bilinear-resized
+        # to the decoder's *pre-block* spatial size, concatenated on channels
+        # (reference: models/hybrid_vit.py:352-394).
+        rev_skips = skips[::-1]
+        n_dec = len(self.decoder_channels)
+        for i, (ch, k, up) in enumerate(
+            zip(
+                self.decoder_channels,
+                self.decoder_kernel_sizes,
+                self.decoder_upsample_factors,
+            )
+        ):
+            is_final = i == n_dec - 1
+            if self.use_skip_connections and not is_final and i < len(rev_skips):
+                skip = nn.Conv(
+                    ch,
+                    (1, 1),
+                    use_bias=True,
+                    kernel_init=dense_kernel_init,  # 1x1 conv == linear proj
+                    name=f"skip_proj_{i}",
+                )(rev_skips[i])
+                if skip.shape[1:3] != x.shape[1:3]:
+                    skip = jnp.moveaxis(
+                        resize_bilinear(
+                            jnp.moveaxis(skip, -1, 1), (x.shape[1], x.shape[2])
+                        ),
+                        1,
+                        -1,
+                    )
+                x = jnp.concatenate([x, skip], axis=-1)
+            x = TransposeConvBlock(
+                features=ch,
+                kernel_size=k,
+                upsample_factor=up if up > 1 else None,
+                activation="relu",
+                use_batchnorm=True,
+                dropout=self.dropout if not is_final else 0.0,
+                final_layer=is_final,
+                bn_axis_name=self.bn_axis_name,
+                name=f"decoder_{i}",
+            )(x, train=train)
+
+        # ===== 7. Resize back to input [F, T] =====
+        if x.shape[1:3] != (in_f, in_t):
+            x = jnp.moveaxis(
+                resize_bilinear(jnp.moveaxis(x, -1, 1), (in_f, in_t)), 1, -1
+            )
+        x = x.astype(jnp.float32)
+        if return_attentions:
+            return x, attentions
+        return x
+
+
+def count_parameters(params) -> Dict[str, int]:
+    """Per-component parameter counts
+    (reference: models/hybrid_vit.py:471-489)."""
+    import numpy as np
+
+    def tally(tree):
+        return int(
+            sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(tree))
+        )
+
+    p = params["params"] if "params" in params else params
+    counts = {
+        "encoder": tally({k: v for k, v in p.items() if k.startswith("encoder_")}),
+        "transformer": tally(p.get("transformer", {})),
+        "decoder": tally(
+            {
+                k: v
+                for k, v in p.items()
+                if k.startswith("decoder_") or k.startswith("skip_proj_")
+            }
+        ),
+        "patch_embed": tally(p.get("patch_embed", {})),
+        "pos_encoding": tally(p.get("pos_encoding", {})),
+        "total": tally(p),
+    }
+    counts["trainable"] = counts["total"]
+    return counts
+
+
+def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
+    """Build a HybridViT from the merged config dict
+    (reference: models/hybrid_vit.py:492-525 — same config keys)."""
+    if config is None:
+        config = {}
+    mc = config.get("model", {})
+    enc = mc.get("encoder", {})
+    tr = mc.get("transformer", {})
+    dec = mc.get("decoder", {})
+    kwargs = dict(
+        input_channels=mc.get("input_channels", 1),
+        output_channels=mc.get("output_channels", 1),
+        encoder_channels=tuple(enc.get("channels", (64, 128, 256))),
+        encoder_kernel_sizes=tuple(enc.get("kernel_sizes", (3, 3, 3))),
+        encoder_pool_sizes=tuple(enc.get("pool_sizes", (2, 2, 1))),
+        embed_dim=tr.get("embed_dim", 512),
+        num_heads=tr.get("num_heads", 8),
+        num_layers=tr.get("num_layers", 6),
+        mlp_ratio=float(tr.get("mlp_ratio", 4)),
+        patch_size=tr.get("patch_size", 4),
+        decoder_channels=tuple(dec.get("channels", (256, 128, 64, 1))),
+        decoder_kernel_sizes=tuple(dec.get("kernel_sizes", (3, 3, 3, 3))),
+        decoder_upsample_factors=tuple(dec.get("upsample_factors", (1, 2, 2, 1))),
+        dropout=enc.get("dropout", 0.1),
+        attn_dropout=tr.get("attention_dropout", 0.1),
+        drop_path_rate=tr.get("drop_path_rate", 0.1),
+        use_skip_connections=dec.get("use_skip_connections", True),
+    )
+    kwargs.update(overrides)
+    return HybridViT(**kwargs)

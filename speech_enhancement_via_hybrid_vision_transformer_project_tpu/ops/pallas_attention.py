@@ -1,0 +1,199 @@
+"""Fused scaled-dot-product attention as a Pallas TPU kernel.
+
+The ViT's hot kernel (reference: models/attention.py:84-107 does four
+separate torch ops). Here QK^T -> bias -> softmax -> @V happens in one
+VMEM-resident kernel per (batch*head, q-block) grid cell: K/V for the head
+stay in VMEM across q-blocks, logits never round-trip to HBM, and softmax
+runs in fp32 regardless of input dtype.
+
+Sequence lengths in this model are short (N = 16*(T/16) tokens, ~368 for
+3 s audio), so each program materializes a full [BQ, N] logit row-block —
+no online-softmax bookkeeping needed; the whole K/V fits VMEM up to
+N ~ 8k. Backward is a custom VJP with recomputed weights (flash-style
+rematerialization) in plain XLA einsums.
+
+Falls back to the XLA reference implementation off-TPU (CPU tests) and for
+shapes the kernel does not support.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+def _xla_attention(q, k, v, scale, bias):
+    logits = (
+        jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    if bias is not None:
+        logits = logits + bias[:, None, :]
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bnm,bmd->bnd", w.astype(q.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)  # [N, D]
+    logits = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    logits = logits + bias_ref[0][None, :]  # [BQ, N] + [1, N]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    v = v_ref[0].astype(jnp.float32)
+    o_ref[0, :, :] = jnp.dot(
+        w, v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _pallas_attention_3d(q, k, v, scale, bias, block_q):
+    """q,k,v: [G, N, D] (G = batch*heads); bias: [G, N] additive fp32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, n, d = q.shape
+    grid = (g, n // block_q)
+    kernel = functools.partial(_attention_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g * n * n * d,
+            bytes_accessed=(3 * g * n * d + g * n) * q.dtype.itemsize,
+            transcendentals=g * n * n,
+        ),
+    )(q, k, v, bias)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused(q, k, v, scale, bias):
+    return _fused_fwd(q, k, v, scale, bias)[0]
+
+
+def _fused_fwd(q, k, v, scale, bias):
+    g, n, d = q.shape
+    block_q = min(128, n)
+    if _use_pallas() and n % block_q == 0:
+        out = _pallas_attention_3d(q, k, v, scale, bias, block_q)
+    else:
+        out = _xla_attention(q, k, v, scale, bias)
+    return out, (q, k, v, bias)
+
+
+def _fused_bwd(scale, res, g_out):
+    q, k, v, bias = res
+    # flash-style remat backward in XLA (weights recomputed, never stored
+    # across the fwd/bwd boundary)
+    logits = (
+        jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    if bias is not None:
+        logits = logits + bias[:, None, :]
+    w = jax.nn.softmax(logits, axis=-1)  # [G, N, M] fp32
+    go = g_out.astype(jnp.float32)
+    dv = jnp.einsum("bnm,bnd->bmd", w, go, preferred_element_type=jnp.float32)
+    dw = jnp.einsum(
+        "bnd,bmd->bnm", go, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    # softmax jacobian: dlogits = w * (dw - sum(dw * w, axis=-1, keepdims))
+    dlogits = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = (
+        jnp.einsum(
+            "bnm,bmd->bnd", dlogits, k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    dk = (
+        jnp.einsum(
+            "bnm,bnd->bmd", dlogits, q.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    dbias = None if bias is None else jnp.sum(dlogits, axis=1).astype(bias.dtype)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: float,
+    mask: Optional[Array] = None,
+) -> Array:
+    """Fused attention on ``[B, H, N, D]`` tensors.
+
+    Args:
+      mask: optional ``[B, N]`` boolean key-validity mask (True = attend).
+
+    Returns ``[B, H, N, D]`` in the input dtype.
+    """
+    b, h, n, d = q.shape
+    block_q = min(128, n) if n >= 128 else n
+    pad_n = (-n) % block_q if n >= 128 else (-n) % 8
+    n_pad = n + pad_n
+
+    def flat(x):
+        x = x.reshape(b * h, n, d)
+        if pad_n:
+            x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
+        return x
+
+    qf, kf, vf = flat(q), flat(k), flat(v)
+    # additive key bias: 0 for valid, -inf for padded / masked-out keys
+    valid = jnp.arange(n_pad) < n  # [n_pad]
+    bias = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
+    bias = jnp.broadcast_to(bias, (b, n_pad))
+    if mask is not None:
+        mpad = jnp.pad(
+            mask.astype(bool), ((0, 0), (0, pad_n)), constant_values=False
+        )
+        bias = jnp.where(mpad, bias, _NEG_INF)
+    bias = jnp.repeat(bias, h, axis=0)  # [B*H, n_pad]
+
+    out = _fused(qf, kf, vf, float(scale), bias)
+    out = out[:, :n, :].reshape(b, h, n, d)
+    return out

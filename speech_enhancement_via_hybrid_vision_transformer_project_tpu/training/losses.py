@@ -1,0 +1,186 @@
+"""Loss functions (pure jittable jnp).
+
+TPU-native rebuild of the reference's losses (reference: training/losses.py)
+as stateless functions returning ``(total, components)`` — components stay
+as traced scalars (no ``.item()`` host syncs inside the step; the reference
+syncs per-batch, training/losses.py:362-383).
+
+Adds optional frame masking so padded frames can be excluded (the reference
+lets padding contribute to the loss, SURVEY.md §7.8 — maskless is default
+for parity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.stft import STFTConfig, stft
+
+Array = jax.Array
+
+
+def masked_mean(err: Array, mask: Optional[Array]) -> Array:
+    """Mean of err [B, F, T, C], optionally over valid frames only."""
+    if mask is None:
+        return jnp.mean(err)
+    m = jnp.broadcast_to(mask[:, None, :, None], err.shape).astype(err.dtype)
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def spectrogram_loss(
+    pred: Array,
+    target: Array,
+    loss_type: str = "l1",
+    use_log_compression: bool = False,
+    frame_mask: Optional[Array] = None,
+) -> Array:
+    """L1 / MSE / L1+MSE on (optionally log-compressed) spectrograms
+    (reference: training/losses.py:15-85)."""
+    if use_log_compression:
+        pred = jnp.log(pred + 1e-8)
+        target = jnp.log(target + 1e-8)
+    l1 = masked_mean(jnp.abs(pred - target), frame_mask)
+    mse = masked_mean((pred - target) ** 2, frame_mask)
+    if loss_type == "l1":
+        return l1
+    if loss_type == "mse":
+        return mse
+    if loss_type == "l1+mse":
+        return l1 + mse
+    raise ValueError(f"Unknown loss type: {loss_type}")
+
+
+def stoi_proxy_loss(
+    pred: Array, target: Array, frame_mask: Optional[Array] = None
+) -> Array:
+    """1 - cosine-similarity of flattened specs, per sample, averaged —
+    the reference's differentiable "STOI" proxy
+    (reference: training/losses.py:88-141)."""
+    b = pred.shape[0]
+    p = pred.reshape(b, -1).astype(jnp.float32)
+    t = target.reshape(b, -1).astype(jnp.float32)
+    if frame_mask is not None:
+        m = jnp.broadcast_to(
+            frame_mask[:, None, :, None], pred.shape
+        ).reshape(b, -1)
+        p = jnp.where(m, p, 0.0)
+        t = jnp.where(m, t, 0.0)
+    # F.normalize uses eps=1e-12 clamping on the norm
+    pn = p / jnp.maximum(jnp.linalg.norm(p, axis=1, keepdims=True), 1e-12)
+    tn = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), 1e-12)
+    corr = jnp.sum(pn * tn, axis=1)
+    return jnp.mean(1.0 - corr)
+
+
+def multi_resolution_stft_loss(
+    pred_wav: Array,
+    target_wav: Array,
+    fft_sizes: Sequence[int] = (512, 1024, 2048),
+    hop_sizes: Sequence[int] = (128, 256, 512),
+    win_sizes: Sequence[int] = (512, 1024, 2048),
+) -> Array:
+    """Spectral-convergence + log-magnitude L1 over several resolutions on
+    waveforms (reference: training/losses.py:144-252 — defined but unused by
+    the reference trainer; available here for waveform fine-tuning).
+
+    Note: the reference calls torch.stft with default center=True and a
+    *symmetric-by-default? no — torch.hann_window(periodic=True)* window; we
+    match that (periodic hann, center reflect pad).
+    """
+    total = jnp.float32(0.0)
+    for n_fft, hop, win in zip(fft_sizes, hop_sizes, win_sizes):
+        cfg = STFTConfig(n_fft=n_fft, hop_length=hop, win_length=win)
+        re_p, im_p = stft(pred_wav, cfg)
+        re_t, im_t = stft(target_wav, cfg)
+        mp = jnp.sqrt(re_p**2 + im_p**2 + 1e-12)
+        mt = jnp.sqrt(re_t**2 + im_t**2 + 1e-12)
+        sc = jnp.linalg.norm((mt - mp).reshape(-1)) / jnp.maximum(
+            jnp.linalg.norm(mt.reshape(-1)), 1e-12
+        )
+        log_l1 = jnp.mean(jnp.abs(jnp.log(mp + 1e-5) - jnp.log(mt + 1e-5)))
+        total = total + sc + log_l1
+    return total / len(fft_sizes)
+
+
+def perceptual_loss(pred: Array, target: Array) -> Array:
+    """Placeholder perceptual loss == L1 (reference:
+    training/losses.py:255-283 is explicitly a placeholder)."""
+    return jnp.mean(jnp.abs(pred - target))
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    l1_weight: float = 1.0
+    mse_weight: float = 0.0
+    stoi_weight: float = 0.1
+    perceptual_weight: float = 0.0
+    use_log_compression: bool = False
+    use_frame_mask: bool = False
+
+    @classmethod
+    def from_config(cls, config: dict) -> "LossConfig":
+        lc = config.get("training", config).get("loss", {})
+        return cls(
+            l1_weight=lc.get("l1_weight", 1.0),
+            mse_weight=lc.get("mse_weight", 0.0),
+            stoi_weight=lc.get("stoi_weight", 0.1),
+            perceptual_weight=lc.get("perceptual_weight", 0.0),
+            use_log_compression=lc.get("use_log_compression", False),
+            use_frame_mask=lc.get("use_frame_mask", False),
+        )
+
+
+def combined_loss(
+    pred: Array,
+    target: Array,
+    cfg: LossConfig = LossConfig(),
+    frame_mask: Optional[Array] = None,
+) -> tuple[Array, Dict[str, Array]]:
+    """Weighted sum of the enabled losses, with per-component breakdown
+    (reference: training/losses.py:286-387; default weights L1=1.0,
+    STOI=0.1 from train_config.yaml:44-52)."""
+    mask = frame_mask if cfg.use_frame_mask else None
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if cfg.use_log_compression:
+        pred_in = jnp.log(pred + 1e-8)
+        target_in = jnp.log(target + 1e-8)
+    else:
+        pred_in, target_in = pred, target
+
+    components: Dict[str, Array] = {}
+    total = jnp.float32(0.0)
+    if cfg.l1_weight > 0:
+        l1 = masked_mean(jnp.abs(pred_in - target_in), mask)
+        components["l1"] = l1
+        total = total + cfg.l1_weight * l1
+    if cfg.mse_weight > 0:
+        mse = masked_mean((pred_in - target_in) ** 2, mask)
+        components["mse"] = mse
+        total = total + cfg.mse_weight * mse
+    if cfg.stoi_weight > 0:
+        st = stoi_proxy_loss(pred, target, mask)
+        components["stoi"] = st
+        total = total + cfg.stoi_weight * st
+    if cfg.perceptual_weight > 0:
+        pc = perceptual_loss(pred, target)
+        components["perceptual"] = pc
+        total = total + cfg.perceptual_weight * pc
+    components["total"] = total
+    return total, components
+
+
+def create_loss_function(config: dict):
+    """Factory mirroring the reference (training/losses.py:390-408):
+    returns ``loss_fn(pred, target, frame_mask=None) -> (total, dict)``."""
+    cfg = LossConfig.from_config(config)
+
+    def loss_fn(pred, target, frame_mask=None):
+        return combined_loss(pred, target, cfg, frame_mask)
+
+    loss_fn.config = cfg
+    return loss_fn
