@@ -1,0 +1,66 @@
+"""Enhancement CLI (reference: enhance.py:23-173 — same single-file /
+directory modes, plus a --streaming flag for chunked long-audio mode)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Enhance noisy speech")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config-dir", default="config")
+    p.add_argument("--input", required=True, help="wav file or directory")
+    p.add_argument("--output", required=True, help="wav file or directory")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--streaming", action="store_true",
+                   help="chunked overlap-add mode for long audio")
+    p.add_argument("--chunk-seconds", type=float, default=2.0)
+    p.add_argument("--overlap-seconds", type=float, default=0.25)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..data.wavio import load_audio, save_wav
+    from ..inference import AudioEnhancer, load_model_for_inference
+    from ..utils import load_all_configs
+
+    inp = Path(args.input)
+    out = Path(args.output)
+    # arg validation (reference: enhance.py:90-102)
+    if not inp.exists():
+        raise SystemExit(f"input not found: {inp}")
+    if inp.is_dir() and out.suffix:
+        raise SystemExit("directory input requires a directory output")
+
+    try:
+        config = load_all_configs(args.config_dir)
+    except Exception as e:
+        print(f"warning: config load failed ({e}); using defaults")
+        config = {}
+
+    model, variables = load_model_for_inference(args.checkpoint, config)
+    enhancer = AudioEnhancer(model, variables, config)
+    sr = enhancer.sample_rate
+
+    if inp.is_dir():
+        n = enhancer.enhance_directory(inp, out, batch_size=args.batch_size)
+        print(f"enhanced {n} files -> {out}")
+    else:
+        audio, _ = load_audio(inp, sr)
+        if args.streaming:
+            enhanced = enhancer.enhance_streaming(
+                audio, args.chunk_seconds, args.overlap_seconds
+            )
+        else:
+            enhanced = enhancer.enhance(audio)
+        save_wav(out, enhanced, sr)
+        print(f"enhanced {inp} -> {out} ({len(audio)/sr:.2f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

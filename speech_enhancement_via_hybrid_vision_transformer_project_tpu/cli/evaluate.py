@@ -1,0 +1,72 @@
+"""Evaluation CLI (reference: evaluate.py:21-155 — same flags; imports are
+not broken here, SURVEY.md §7.1)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Evaluate a trained enhancer on VoiceBank-DEMAND"
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config-dir", default="config")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--noisy-dir", default=None)
+    p.add_argument("--clean-dir", default=None)
+    p.add_argument("--output", default="evaluation_results.json")
+    p.add_argument("--save-enhanced", default=None,
+                   help="directory to dump enhanced wavs")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-files", type=int, default=None)
+    p.add_argument("--no-pesq", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..evaluation import Evaluator
+    from ..inference import AudioEnhancer, load_model_for_inference
+    from ..utils import load_all_configs
+
+    try:
+        config = load_all_configs(args.config_dir)
+    except Exception as e:  # tolerate missing configs (reference: :79-83)
+        print(f"warning: config load failed ({e}); using defaults")
+        config = {}
+
+    model, variables = load_model_for_inference(args.checkpoint, config)
+    enhancer = AudioEnhancer(model, variables, config)
+
+    data_root = Path(
+        args.data_root
+        or config.get("data", {}).get("data_root", "data/voicebank_demand")
+    )
+    dcfg = config.get("data", {})
+    noisy_dir = Path(
+        args.noisy_dir or data_root / dcfg.get("noisy_test_dir", "noisy_testset_wav")
+    )
+    clean_dir = Path(
+        args.clean_dir or data_root / dcfg.get("clean_test_dir", "clean_testset_wav")
+    )
+
+    sr = config.get("audio", {}).get("sample_rate", 16000)
+    evaluator = Evaluator(enhancer, sr, include_pesq=not args.no_pesq)
+    results = evaluator.evaluate_dataset(
+        noisy_dir,
+        clean_dir,
+        output_dir=args.save_enhanced,
+        batch_size=args.batch_size,
+        max_files=args.max_files,
+    )
+    print(Evaluator.format_report(results))
+    Evaluator.save_results(results["summary"], args.output)
+    print(f"results written to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,137 @@
+"""Training CLI (reference: train.py:38-169 — same flags + TPU extras)."""
+
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def set_seed(seed: int) -> None:
+    """Seed python/numpy; jax PRNG keys are derived explicitly from the
+    config seed (reference: train.py:23-35 — cudnn determinism has no TPU
+    counterpart; XLA is deterministic by default)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train the Hybrid ViT speech enhancer (TPU-native)"
+    )
+    p.add_argument("--config-dir", default="config", help="YAML config dir")
+    p.add_argument("--data-root", default=None, help="VoiceBank-DEMAND root")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--resume", default=None, help="checkpoint dir to resume")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-files", type=int, default=None,
+                   help="truncate dataset (smoke runs)")
+    p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..data import DataLoader, VoiceBankDataset
+    from ..models import create_hybrid_vit
+    from ..parallel import mesh_from_config
+    from ..training import Trainer
+    from ..utils import load_all_configs, set_config_value, validate_config
+
+    from ..utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = load_all_configs(args.config_dir)
+    # CLI overrides (reference: train.py:84-92)
+    if args.data_root:
+        set_config_value(config, "data.data_root", args.data_root)
+    if args.epochs is not None:
+        set_config_value(config, "training.num_epochs", args.epochs)
+    if args.batch_size is not None:
+        set_config_value(config, "training.batch_size", args.batch_size)
+    if args.lr is not None:
+        set_config_value(config, "training.optimizer.lr", args.lr)
+    if args.seed is not None:
+        set_config_value(config, "training.seed", args.seed)
+    if args.data_parallel is not None:
+        set_config_value(config, "mesh.data_parallel", args.data_parallel)
+    if args.model_parallel is not None:
+        set_config_value(config, "mesh.model_parallel", args.model_parallel)
+    problems = validate_config(config)
+    if problems:
+        raise SystemExit("Invalid config:\n  " + "\n  ".join(problems))
+
+    seed = config.get("training", {}).get("seed", 42)
+    set_seed(seed)
+
+    data_root = Path(config.get("data", {}).get("data_root", "data/voicebank_demand"))
+    train_ds = VoiceBankDataset(data_root, "train", config)
+    val_ds = VoiceBankDataset(data_root, "val", config)
+    if args.max_files:
+        train_ds.file_pairs = train_ds.file_pairs[: args.max_files]
+        val_ds.file_pairs = val_ds.file_pairs[: max(args.max_files // 4, 1)]
+    print(f"train files: {len(train_ds)}  val files: {len(val_ds)}")
+
+    tc = config.get("training", {})
+    bcfg = config.get("data", {}).get("bucketing", {})
+    buckets = tuple(bcfg.get("frame_buckets", (128, 256, 384, 512, 768, 1024)))
+    train_loader = DataLoader(
+        train_ds,
+        batch_size=tc.get("batch_size", 16),
+        num_workers=tc.get("num_workers", 4),
+        seed=seed,
+        buckets=buckets,
+    )
+    val_loader = DataLoader(
+        val_ds,
+        batch_size=tc.get("batch_size", 16),
+        shuffle=False,
+        num_workers=tc.get("num_workers", 4),
+        buckets=buckets,
+    )
+
+    tpu_cfg = config.get("tpu", {})
+    import jax.numpy as jnp
+
+    compute_dtype = (
+        jnp.bfloat16
+        if tc.get("use_amp", True)
+        and tpu_cfg.get("compute_dtype", "bfloat16") == "bfloat16"
+        else jnp.float32
+    )
+    model = create_hybrid_vit(
+        config,
+        compute_dtype=compute_dtype,
+        use_pallas_attention=tpu_cfg.get("use_pallas_attention", True),
+    )
+    mesh = mesh_from_config(config)
+    print(f"mesh: {dict(mesh.shape)}")
+
+    trainer = Trainer(
+        model,
+        config,
+        train_loader,
+        val_loader,
+        mesh=mesh,
+        checkpoint_dir=args.checkpoint_dir,
+        log_dir=args.log_dir,
+        resume_from=args.resume,
+    )
+    history = trainer.train()
+    print(
+        f"done: best val loss {trainer.best_val_loss:.5f} after "
+        f"{trainer.current_epoch} epochs"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

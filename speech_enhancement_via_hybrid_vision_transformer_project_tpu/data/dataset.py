@@ -167,6 +167,12 @@ def bucket_for_frames(
     return buckets[-1]
 
 
+def frames_needed(n_samples: int, hop_length: int) -> int:
+    """Frame bucket large enough that its waveform length (bucket-1)*hop
+    covers ``n_samples`` without truncation: 1 + ceil(L / hop)."""
+    return 1 + -(-n_samples // hop_length)
+
+
 def collate_waveforms(
     items: List[Dict[str, np.ndarray]],
     stft_config: STFTConfig = STFTConfig(),
@@ -181,7 +187,7 @@ def collate_waveforms(
     rows to a fixed size (static shapes for jit); ``valid`` marks real rows.
     """
     hop = stft_config.hop_length
-    frames = [stft_config.num_frames(len(it["noisy_audio"])) for it in items]
+    frames = [frames_needed(len(it["noisy_audio"]), hop) for it in items]
     bucket = bucket_for_frames(max(frames), buckets)
     wav_len = (bucket - 1) * hop  # num_frames(wav_len) == bucket (center)
     b = batch_size or len(items)

@@ -1,0 +1,176 @@
+"""Dataset evaluation: enhance + score the VoiceBank-DEMAND test set.
+
+Rebuild of the reference Evaluator (reference: evaluation/evaluator.py).
+Differences by design:
+  * reuses the AudioEnhancer (the reference duplicates the whole enhance
+    pipeline inline, evaluator.py:54-117);
+  * enhancement runs **batched** over length-sorted buckets on the TPU
+    while metrics run on host CPU (BASELINE.json config #2);
+  * ``save_enhanced`` writes the wavs already produced — the reference
+    enhances every file twice in that mode (SURVEY.md §7.10);
+  * nan metrics (e.g. PESQ unavailable) are excluded from aggregation
+    rather than averaged in as 0.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.wavio import load_audio, save_wav
+from ..inference.enhancer import AudioEnhancer
+from .metrics import compute_all_metrics
+
+METRIC_KEYS = ("pesq", "stoi", "si_sdr", "snr", "seg_snr", "lsd")
+
+
+class Evaluator:
+    def __init__(
+        self,
+        enhancer: AudioEnhancer,
+        sample_rate: int = 16000,
+        include_pesq: bool = True,
+    ):
+        self.enhancer = enhancer
+        self.sample_rate = sample_rate
+        self.include_pesq = include_pesq
+
+    # ------------------------------------------------------------------
+    def evaluate_pair(
+        self,
+        noisy: np.ndarray,
+        clean: np.ndarray,
+        enhanced: Optional[np.ndarray] = None,
+    ) -> Dict[str, float]:
+        """Metrics for one utterance (reference: evaluator.py:119-155)."""
+        if enhanced is None:
+            enhanced = self.enhancer.enhance(noisy)
+        return compute_all_metrics(
+            clean,
+            enhanced,
+            noisy,
+            self.sample_rate,
+            include_pesq=self.include_pesq,
+        )
+
+    # ------------------------------------------------------------------
+    def evaluate_dataset(
+        self,
+        noisy_dir: str | Path,
+        clean_dir: str | Path,
+        output_dir: Optional[str | Path] = None,
+        batch_size: int = 8,
+        max_files: Optional[int] = None,
+        progress: bool = True,
+    ) -> Dict[str, Dict[str, float]]:
+        """Sweep a test set (reference: evaluator.py:157-231): pair files by
+        name, enhance batched, score per file, aggregate mean±std."""
+        noisy_dir, clean_dir = Path(noisy_dir), Path(clean_dir)
+        files = sorted(noisy_dir.glob("*.wav"))
+        files = [f for f in files if (clean_dir / f.name).exists()]
+        if max_files:
+            files = files[:max_files]
+        if not files:
+            raise FileNotFoundError(f"no paired wavs under {noisy_dir}")
+
+        noisy_wavs = [load_audio(f, self.sample_rate)[0] for f in files]
+        clean_wavs = [
+            load_audio(clean_dir / f.name, self.sample_rate)[0] for f in files
+        ]
+        order = np.argsort([len(w) for w in noisy_wavs])
+
+        per_file: Dict[str, Dict[str, float]] = {}
+        audio_seconds = sum(len(w) for w in noisy_wavs) / self.sample_rate
+        t0 = time.perf_counter()
+        done = 0
+        for i in range(0, len(order), batch_size):
+            idx = order[i : i + batch_size]
+            enhanced = self.enhancer.enhance_batch(
+                [noisy_wavs[j] for j in idx]
+            )
+            for j, enh in zip(idx, enhanced):
+                per_file[files[j].name] = self.evaluate_pair(
+                    noisy_wavs[j], clean_wavs[j], enhanced=enh
+                )
+                if output_dir is not None:
+                    save_wav(
+                        Path(output_dir) / files[j].name, enh, self.sample_rate
+                    )
+            done += len(idx)
+            if progress:
+                print(
+                    f"\r[eval] {done}/{len(files)} files", end="", flush=True
+                )
+        if progress:
+            print()
+        elapsed = time.perf_counter() - t0
+
+        summary = self.aggregate(per_file)
+        summary["_meta"] = {
+            "num_files": float(len(files)),
+            "audio_seconds": float(audio_seconds),
+            "wall_seconds": float(elapsed),
+            "audio_seconds_per_second": float(audio_seconds / max(elapsed, 1e-9)),
+        }
+        return {"summary": summary, "per_file": per_file}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def aggregate(per_file: Dict[str, Dict[str, float]]) -> Dict[str, Dict[str, float]]:
+        """mean±std per metric, nan-excluded (reference:
+        evaluator.py:218-225 averages raw values)."""
+        keys = set()
+        for m in per_file.values():
+            keys.update(m.keys())
+        out: Dict[str, Dict[str, float]] = {}
+        for k in sorted(keys):
+            vals = np.asarray(
+                [m[k] for m in per_file.values() if k in m], np.float64
+            )
+            vals = vals[np.isfinite(vals)]
+            if len(vals):
+                out[k] = {
+                    "mean": float(vals.mean()),
+                    "std": float(vals.std()),
+                    "count": float(len(vals)),
+                }
+        return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def save_results(results: Dict, path: str | Path) -> Path:
+        """JSON results writer (reference: evaluator.py:233-263)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(results, indent=2, default=float))
+        return path
+
+    @staticmethod
+    def format_report(results: Dict) -> str:
+        """Human-readable report (reference: evaluator.py:265-309)."""
+        summary = results.get("summary", results)
+        lines = ["=" * 60, "Evaluation Report", "=" * 60]
+        for k, stats in summary.items():
+            if k.startswith("_"):
+                continue
+            if isinstance(stats, dict) and "mean" in stats:
+                lines.append(
+                    f"{k:>24s}: {stats['mean']: .4f} ± {stats['std']:.4f}"
+                    f"  (n={int(stats['count'])})"
+                )
+        meta = summary.get("_meta", {})
+        if meta:
+            lines.append("-" * 60)
+            lines.append(
+                f"{'files':>24s}: {int(meta.get('num_files', 0))}"
+            )
+            lines.append(
+                f"{'throughput':>24s}: "
+                f"{meta.get('audio_seconds_per_second', 0.0):.2f} audio-s/s"
+            )
+        lines.append("=" * 60)
+        return "\n".join(lines)

@@ -1,0 +1,264 @@
+"""Inference: batched + streaming audio enhancement.
+
+TPU-native re-design of the reference enhancer (reference:
+inference/enhancer.py:18-290). The whole per-utterance pipeline — peak
+normalize -> STFT -> max-only magnitude normalize (the reference's
+inference-side normalization, SURVEY.md §7.2) -> model forward -> denorm ->
+noisy-phase recombination -> iSTFT -> output denorm — is ONE jitted XLA
+program, compiled once per (batch, length-bucket) shape and cached.
+
+Improvements over the reference (which enhances file-at-a-time, batch=1):
+  * batched enhancement over length buckets (BASELINE.json config #2),
+  * a streaming chunked overlap-add mode with crossfade for long/low-latency
+    audio (BASELINE.json config #5; bounded memory, any duration).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import DEFAULT_BUCKETS, bucket_for_frames
+from ..data.wavio import load_audio, save_wav
+from ..models.hybrid_vit import create_hybrid_vit
+from ..ops.stft import STFTConfig, istft, magphase, polar, stft
+from ..utils.checkpoint import load_model_weights
+
+Array = jax.Array
+
+
+class AudioEnhancer:
+    """Speech enhancer around a trained HybridViT."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        config: Optional[Dict] = None,
+        *,
+        stft_method: str = "matmul",
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.model = model
+        self.variables = variables
+        self.config = config or {}
+        audio_cfg = self.config.get("audio", {})
+        self.stft_cfg = STFTConfig(
+            n_fft=audio_cfg.get("n_fft", 512),
+            hop_length=audio_cfg.get("hop_length", 128),
+            win_length=audio_cfg.get("win_length", 512),
+            window=audio_cfg.get("window", "hann"),
+        )
+        self.sample_rate = audio_cfg.get("sample_rate", 16000)
+        self.stft_method = stft_method
+        self.buckets = tuple(buckets)
+        self._core_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _core(self, wav_len: int):
+        """Jitted enhancement core for a fixed padded length."""
+        if wav_len in self._core_cache:
+            return self._core_cache[wav_len]
+        cfg = self.stft_cfg
+        method = self.stft_method
+        model = self.model
+
+        @jax.jit
+        def run(variables, noisy: Array) -> Array:  # [B, wav_len]
+            # peak normalize (reference: enhancer.py:71-79)
+            max_val = jnp.max(jnp.abs(noisy), axis=-1, keepdims=True)
+            scale = jnp.where(max_val > 1e-8, max_val, 1.0)
+            x = noisy / scale
+            re, im = stft(x, cfg, method=method)
+            mag, phase = magphase(re, im)
+            # max-only magnitude normalize (reference: enhancer.py:96-101)
+            mag_max = jnp.max(mag, axis=(-2, -1), keepdims=True)
+            mag_max = jnp.where(mag_max > 1e-8, mag_max, 1.0)
+            normed = mag / mag_max
+            out = model.apply(variables, normed[..., None], train=False)[..., 0]
+            enhanced_mag = out * mag_max
+            re2, im2 = polar(enhanced_mag, phase)
+            y = istft(re2, im2, cfg, length=wav_len, method=method)
+            return y * scale
+
+        self._core_cache[wav_len] = run
+        return run
+
+    def _padded_len(self, n_samples: int) -> int:
+        from ..data.dataset import frames_needed
+
+        frames = frames_needed(max(n_samples, 1), self.stft_cfg.hop_length)
+        bucket = bucket_for_frames(frames, self.buckets)
+        return (bucket - 1) * self.stft_cfg.hop_length
+
+    # ------------------------------------------------------------------
+    def enhance(self, noisy_audio: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """Enhance one waveform (reference: enhancer.py:55-135)."""
+        return self.enhance_batch([noisy_audio], normalize=normalize)[0]
+
+    def enhance_batch(
+        self, wavs: List[np.ndarray], normalize: bool = True
+    ) -> List[np.ndarray]:
+        """Enhance a list of waveforms as one padded batch."""
+        if not wavs:
+            return []
+        wav_len = self._padded_len(max(len(w) for w in wavs))
+        b = len(wavs)
+        batch = np.zeros((b, wav_len), np.float32)
+        for i, w in enumerate(wavs):
+            n = min(len(w), wav_len)
+            batch[i, :n] = np.asarray(w[:n], np.float32)
+        if not normalize:
+            # skip peak normalization: pre-scale so the core's normalize
+            # becomes identity is impossible in general; run a dedicated path
+            out = self._enhance_nonorm(jnp.asarray(batch), wav_len)
+        else:
+            out = self._core(wav_len)(self.variables, jnp.asarray(batch))
+        out = np.asarray(out)
+        results = []
+        for i, w in enumerate(wavs):
+            r = out[i, : len(w)]
+            if len(r) < len(w):  # beyond the largest bucket: zero-pad tail
+                r = np.pad(r, (0, len(w) - len(r)))
+            results.append(r.copy())
+        return results
+
+    def _enhance_nonorm(self, batch: Array, wav_len: int) -> Array:
+        cfg = self.stft_cfg
+        re, im = stft(batch, cfg, method=self.stft_method)
+        mag, phase = magphase(re, im)
+        mag_max = jnp.max(mag, axis=(-2, -1), keepdims=True)
+        mag_max = jnp.where(mag_max > 1e-8, mag_max, 1.0)
+        out = self.model.apply(
+            self.variables, (mag / mag_max)[..., None], train=False
+        )[..., 0]
+        re2, im2 = polar(out * mag_max, phase)
+        return istft(re2, im2, cfg, length=wav_len, method=self.stft_method)
+
+    # ------------------------------------------------------------------
+    def enhance_streaming(
+        self,
+        noisy_audio: np.ndarray,
+        chunk_seconds: float = 2.0,
+        overlap_seconds: float = 0.25,
+        batch_chunks: int = 8,
+    ) -> np.ndarray:
+        """Chunked overlap-add enhancement for long / low-latency audio
+        (BASELINE.json config #5 — no reference counterpart).
+
+        Splits into fixed chunks with overlap, enhances chunks batched
+        through the same jitted core, and crossfades the overlap with a
+        linear ramp (perfect-reconstruction complementary fade).
+        """
+        sr = self.sample_rate
+        chunk = int(chunk_seconds * sr)
+        overlap = int(overlap_seconds * sr)
+        hop = chunk - overlap
+        x = np.asarray(noisy_audio, np.float32)
+        if len(x) <= chunk:
+            return self.enhance(x)
+        starts = list(range(0, max(len(x) - overlap, 1), hop))
+        chunks = []
+        for s in starts:
+            c = x[s : s + chunk]
+            if len(c) < chunk:
+                c = np.pad(c, (0, chunk - len(c)))
+            chunks.append(c)
+        enhanced: List[np.ndarray] = []
+        for i in range(0, len(chunks), batch_chunks):
+            enhanced.extend(self.enhance_batch(chunks[i : i + batch_chunks]))
+        out = np.zeros(starts[-1] + chunk, np.float32)
+        weight = np.zeros_like(out)
+        ramp = np.ones(chunk, np.float32)
+        if overlap > 0:
+            ramp[:overlap] = np.linspace(0.0, 1.0, overlap, endpoint=False)
+            ramp[-overlap:] = np.linspace(1.0, 0.0, overlap, endpoint=False)
+        for s, e in zip(starts, enhanced):
+            out[s : s + chunk] += e * ramp
+            weight[s : s + chunk] += ramp
+        out = out / np.maximum(weight, 1e-8)
+        return out[: len(x)]
+
+    # ------------------------------------------------------------------
+    def enhance_file(
+        self, input_path: str | Path, output_path: str | Path
+    ) -> np.ndarray:
+        """(reference: enhancer.py:137-162)"""
+        audio, sr = load_audio(input_path, self.sample_rate)
+        enhanced = self.enhance(audio)
+        save_wav(output_path, enhanced, sr)
+        return enhanced
+
+    def enhance_directory(
+        self,
+        input_dir: str | Path,
+        output_dir: str | Path,
+        pattern: str = "*.wav",
+        batch_size: int = 8,
+    ) -> int:
+        """Batched directory sweep (reference: enhancer.py:164-194 loops
+        file-at-a-time; we group files into padded batches)."""
+        input_dir, output_dir = Path(input_dir), Path(output_dir)
+        files = sorted(input_dir.glob(pattern))
+        # length-sort so batches share buckets (fewer compiles, less padding)
+        loaded = [load_audio(f, self.sample_rate)[0] for f in files]
+        order = np.argsort([len(w) for w in loaded])
+        for i in range(0, len(order), batch_size):
+            idx = order[i : i + batch_size]
+            outs = self.enhance_batch([loaded[j] for j in idx])
+            for j, out in zip(idx, outs):
+                save_wav(output_dir / files[j].name, out, self.sample_rate)
+        return len(files)
+
+
+# ---------------------------------------------------------------------------
+# Module-level conveniences (reference: inference/enhancer.py:197-290)
+# ---------------------------------------------------------------------------
+
+
+def load_model_for_inference(
+    checkpoint_path: str | Path, config: Optional[Dict] = None
+):
+    """Build the model + load weights (reference: enhancer.py:258-290)."""
+    config = config or {}
+    model = create_hybrid_vit(config)
+    # init a template to restore into
+    import jax.random as jr
+
+    audio_cfg = config.get("audio", {})
+    f_bins = config.get("spectrogram", {}).get(
+        "n_freq_bins", audio_cfg.get("n_fft", 512) // 2 + 1
+    )
+    from ..utils.runtime import jit_init
+
+    template = jit_init(model, jnp.zeros((1, f_bins, 128, 1), jnp.float32))
+    variables = load_model_weights(checkpoint_path, template)
+    return model, variables
+
+
+def enhance_audio(
+    noisy_audio: np.ndarray,
+    checkpoint_path: str | Path,
+    config: Optional[Dict] = None,
+) -> np.ndarray:
+    """(reference: enhancer.py:197-229)"""
+    model, variables = load_model_for_inference(checkpoint_path, config)
+    return AudioEnhancer(model, variables, config).enhance(noisy_audio)
+
+
+def enhance_file(
+    input_path: str | Path,
+    output_path: str | Path,
+    checkpoint_path: str | Path,
+    config: Optional[Dict] = None,
+) -> np.ndarray:
+    """(reference: enhancer.py:232-255)"""
+    model, variables = load_model_for_inference(checkpoint_path, config)
+    return AudioEnhancer(model, variables, config).enhance_file(
+        input_path, output_path
+    )

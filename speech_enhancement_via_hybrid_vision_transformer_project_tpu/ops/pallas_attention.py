@@ -52,7 +52,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
         )
         * scale
     )
-    logits = logits + bias_ref[0][None, :]  # [BQ, N] + [1, N]
+    logits = logits + bias_ref[0]  # [BQ, N] + [1, N] broadcast
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     w = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -70,6 +70,9 @@ def _pallas_attention_3d(q, k, v, scale, bias, block_q):
     g, n, d = q.shape
     grid = (g, n // block_q)
     kernel = functools.partial(_attention_kernel, scale=scale)
+    # bias as [G, 1, N]: block (1,1,N) equals the trailing array dims,
+    # satisfying Mosaic's (8,128)-divisible-or-full block constraint
+    bias3 = bias[:, None, :]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -81,7 +84,7 @@ def _pallas_attention_3d(q, k, v, scale, bias, block_q):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda b, i: (b, 0),
+            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -91,7 +94,7 @@ def _pallas_attention_3d(q, k, v, scale, bias, block_q):
             bytes_accessed=(3 * g * n * d + g * n) * q.dtype.itemsize,
             transcendentals=g * n * n,
         ),
-    )(q, k, v, bias)
+    )(q, k, v, bias3)
 
 
 def _use_pallas() -> bool:

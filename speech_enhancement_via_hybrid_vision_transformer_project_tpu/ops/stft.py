@@ -303,7 +303,8 @@ def griffin_lim(
     re, im = mag * jnp.cos(ang), mag * jnp.sin(ang)
     # iSTFT length for intermediate rounds: implied signal length
     n_frames = mag.shape[-1]
-    implied = n_frames * cfg.hop_length if cfg.center else (
+    # largest length whose STFT has exactly n_frames frames
+    implied = (n_frames - 1) * cfg.hop_length if cfg.center else (
         cfg.n_fft + (n_frames - 1) * cfg.hop_length
     )
 

@@ -55,7 +55,10 @@ def spectrogram_loss(
 
 
 def stoi_proxy_loss(
-    pred: Array, target: Array, frame_mask: Optional[Array] = None
+    pred: Array,
+    target: Array,
+    frame_mask: Optional[Array] = None,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """1 - cosine-similarity of flattened specs, per sample, averaged —
     the reference's differentiable "STOI" proxy
@@ -73,7 +76,11 @@ def stoi_proxy_loss(
     pn = p / jnp.maximum(jnp.linalg.norm(p, axis=1, keepdims=True), 1e-12)
     tn = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), 1e-12)
     corr = jnp.sum(pn * tn, axis=1)
-    return jnp.mean(1.0 - corr)
+    per_sample = 1.0 - corr
+    if sample_weight is None:
+        return jnp.mean(per_sample)
+    w = sample_weight.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def multi_resolution_stft_loss(
@@ -139,11 +146,23 @@ def combined_loss(
     target: Array,
     cfg: LossConfig = LossConfig(),
     frame_mask: Optional[Array] = None,
+    sample_valid: Optional[Array] = None,
 ) -> tuple[Array, Dict[str, Array]]:
     """Weighted sum of the enabled losses, with per-component breakdown
     (reference: training/losses.py:286-387; default weights L1=1.0,
-    STOI=0.1 from train_config.yaml:44-52)."""
+    STOI=0.1 from train_config.yaml:44-52).
+
+    ``sample_valid [B]`` excludes batch-padding rows (our loader pads
+    batches to a static size for jit; the reference has no such rows, so
+    excluding them is the faithful equivalent, not a behavior change).
+    """
     mask = frame_mask if cfg.use_frame_mask else None
+    if sample_valid is not None:
+        row = sample_valid[:, None]
+        if mask is None:
+            mask = jnp.broadcast_to(row, (pred.shape[0], pred.shape[2]))
+        else:
+            mask = mask & row
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     if cfg.use_log_compression:
@@ -163,7 +182,7 @@ def combined_loss(
         components["mse"] = mse
         total = total + cfg.mse_weight * mse
     if cfg.stoi_weight > 0:
-        st = stoi_proxy_loss(pred, target, mask)
+        st = stoi_proxy_loss(pred, target, mask, sample_weight=sample_valid)
         components["stoi"] = st
         total = total + cfg.stoi_weight * st
     if cfg.perceptual_weight > 0:
@@ -179,8 +198,8 @@ def create_loss_function(config: dict):
     returns ``loss_fn(pred, target, frame_mask=None) -> (total, dict)``."""
     cfg = LossConfig.from_config(config)
 
-    def loss_fn(pred, target, frame_mask=None):
-        return combined_loss(pred, target, cfg, frame_mask)
+    def loss_fn(pred, target, frame_mask=None, sample_valid=None):
+        return combined_loss(pred, target, cfg, frame_mask, sample_valid)
 
     loss_fn.config = cfg
     return loss_fn

@@ -1,0 +1,433 @@
+"""Training loop: jitted SPMD train/eval steps + epoch driver.
+
+TPU-native re-design of the reference Trainer (reference:
+training/trainer.py:24-412). The per-batch work — on-device featurization
+(STFT/normalize/SpecAugment), forward, loss, grad, clip, AdamW — is ONE
+jitted program compiled per length-bucket, with the batch sharded over the
+mesh's ``data`` axis and the state replicated (or TP-sharded). XLA's SPMD
+partitioner inserts the gradient/BN-stat collectives from the sharding
+annotations (GSPMD global-view: BatchNorm batch statistics are
+automatically *global* across data-parallel shards).
+
+Mixed precision is bf16 activations / fp32 params+optimizer — no
+GradScaler (the reference's fp16 AMP machinery, training/trainer.py:148-183,
+is unnecessary on TPU; clip-by-global-norm-1.0 semantics are preserved).
+
+Epoch-level contract mirrors the reference: per-epoch scheduler step
+(plateau consumes val loss), best/periodic/final checkpoints, early
+stopping with patience, TensorBoard/JSONL scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.augmentation import SpecAugmentConfig
+from ..data.pipeline import featurize_batch
+from ..ops.stft import STFTConfig
+from ..parallel.mesh import DATA_AXIS, make_mesh, mesh_from_config
+from ..parallel.sharding import shard_variables
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import MetricsLogger, Stopwatch
+from .losses import LossConfig, combined_loss
+from .optimizer import chain_with_clip, create_optimizer, create_scheduler
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Functionally set the injected learning_rate anywhere in the opt
+    state (handles chain tuples and optax.MultiSteps wrapping)."""
+
+    def walk(s):
+        if isinstance(s, optax.InjectHyperparamsState):
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, optax.MultiStepsState):
+            return s._replace(inner_opt_state=walk(s.inner_opt_state))
+        if type(s) is tuple:
+            return tuple(walk(x) for x in s)
+        return s
+
+    return walk(opt_state)
+
+
+def get_learning_rate(opt_state) -> float:
+    def walk(s):
+        if isinstance(s, optax.InjectHyperparamsState):
+            return float(np.asarray(s.hyperparams["learning_rate"]))
+        if isinstance(s, optax.MultiStepsState):
+            return walk(s.inner_opt_state)
+        if type(s) is tuple:
+            for x in s:
+                r = walk(x)
+                if r is not None:
+                    return r
+        return None
+
+    lr = walk(opt_state)
+    return lr if lr is not None else float("nan")
+
+
+def make_step_fns(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    stft_cfg: STFTConfig,
+    aug_cfg: SpecAugmentConfig,
+    *,
+    stft_method: str = "matmul",
+    augment: bool = True,
+    use_attention_mask: bool = False,
+    mesh=None,
+):
+    """Build jitted (train_step, eval_step) closed over static config."""
+
+    def _featurize(batch, key):
+        return featurize_batch(
+            batch["noisy_audio"],
+            batch["clean_audio"],
+            batch["length"],
+            stft_cfg,
+            augment_key=key,
+            augment_config=aug_cfg,
+            stft_method=stft_method,
+        )
+
+    def train_step(state: TrainState, batch: Dict[str, Array], rng: Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        aug_key, drop_key = jax.random.split(step_rng)
+        feats = _featurize(batch, aug_key if augment else None)
+        valid = batch["valid"]
+        attn_mask = None  # reference lets padded frames attend (§7.8)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats.noisy_spec,
+                mask=attn_mask,
+                train=True,
+                rngs={"dropout": drop_key},
+                mutable=["batch_stats"],
+            )
+            total, comps = combined_loss(
+                out,
+                feats.clean_spec,
+                loss_cfg,
+                frame_mask=feats.frame_mask,
+                sample_valid=valid,
+            )
+            return total, (comps, mutated["batch_stats"])
+
+        (_, (comps, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {k: v for k, v in comps.items()}
+        metrics["grad_norm"] = gnorm
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch: Dict[str, Array]):
+        feats = _featurize(batch, None)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats.noisy_spec,
+            mask=None,
+            train=False,
+        )
+        total, comps = combined_loss(
+            out,
+            feats.clean_spec,
+            loss_cfg,
+            frame_mask=feats.frame_mask,
+            sample_valid=batch["valid"],
+        )
+        return comps
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        batch_sh = {
+            "noisy_audio": data_sh,
+            "clean_audio": data_sh,
+            "length": data_sh,
+            "valid": data_sh,
+        }
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(None, batch_sh, repl),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(eval_step, in_shardings=(None, batch_sh))
+    else:
+        train_step = jax.jit(train_step, donate_argnums=(0,))
+        eval_step = jax.jit(eval_step)
+    return train_step, eval_step
+
+
+class Trainer:
+    """Epoch-loop driver with the reference's training contract."""
+
+    def __init__(
+        self,
+        model,
+        config: Dict,
+        train_loader,
+        val_loader=None,
+        *,
+        mesh=None,
+        checkpoint_dir: Optional[str | Path] = None,
+        log_dir: Optional[str | Path] = None,
+        resume_from: Optional[str | Path] = None,
+        example_batch: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        tc = config.get("training", {})
+        self.num_epochs = tc.get("num_epochs", 100)
+        self.grad_accum = tc.get("gradient_accumulation_steps", 1)
+        self.log_every = tc.get("logging", {}).get("log_every_n_steps", 10)
+        self.seed = tc.get("seed", 42)
+        self.sample_rate = config.get("data", {}).get("sample_rate", 16000)
+
+        ckpt_cfg = tc.get("checkpoint", {})
+        self.checkpoint_dir = Path(
+            checkpoint_dir or ckpt_cfg.get("save_dir", "checkpoints")
+        )
+        self.save_every = ckpt_cfg.get("save_every_n_epochs", 5)
+        es = tc.get("early_stopping", {})
+        self.early_stopping = es.get("enabled", True)
+        self.patience = es.get("patience", 10)
+        self.min_delta = es.get("min_delta", 1e-4)
+
+        self.mesh = mesh if mesh is not None else mesh_from_config(config)
+        self.stft_cfg = STFTConfig(
+            n_fft=config.get("audio", {}).get("n_fft", 512),
+            hop_length=config.get("audio", {}).get("hop_length", 128),
+            win_length=config.get("audio", {}).get("win_length", 512),
+            window=config.get("audio", {}).get("window", "hann"),
+        )
+        self.loss_cfg = LossConfig.from_config(config)
+        aug = config.get("data", {}).get("augmentation", {})
+        sa = aug.get("spec_augment", {})
+        rg = aug.get("random_gain", {})
+        self.aug_cfg = SpecAugmentConfig(
+            freq_mask_num=sa.get("freq_mask_num", 2),
+            freq_mask_width=sa.get("freq_mask_width", 15),
+            time_mask_num=sa.get("time_mask_num", 2),
+            time_mask_width=sa.get("time_mask_width", 30),
+            gain_prob=rg.get("probability", 0.5),
+            gain_db_range=tuple(rg.get("gain_db_range", (-3.0, 3.0))),
+            enabled=sa.get("enabled", True) and aug.get("enabled", True),
+            gain_enabled=rg.get("enabled", True) and aug.get("enabled", True),
+        )
+
+        base_opt = create_optimizer(config)
+        clip = tc.get("gradient_clip_max_norm", 1.0)
+        self.optimizer = chain_with_clip(base_opt, clip)
+        if self.grad_accum > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=self.grad_accum
+            )
+        self.scheduler = create_scheduler(config, self.num_epochs)
+
+        self.logger = MetricsLogger(
+            log_dir or tc.get("logging", {}).get("log_dir", "logs"),
+            tc.get("experiment_name", "experiment"),
+            use_tensorboard=tc.get("logging", {}).get("use_tensorboard", True),
+        )
+
+        # ----- state init -----
+        self.rng = jax.random.PRNGKey(self.seed)
+        init_batch = example_batch or next(iter(train_loader))
+        self.state = self._init_state(init_batch)
+        self.current_epoch = 0
+        self.best_val_loss = float("inf")
+        self.epochs_no_improve = 0
+        if resume_from:
+            self.load(resume_from)
+
+        stft_method = config.get("tpu", {}).get("stft_method", "matmul")
+        self.train_step, self.eval_step = make_step_fns(
+            self.model,
+            self.optimizer,
+            self.loss_cfg,
+            self.stft_cfg,
+            self.aug_cfg,
+            stft_method=stft_method,
+            augment=aug.get("enabled", True),
+            mesh=self.mesh,
+        )
+        self.stopwatch = Stopwatch()
+
+    # ------------------------------------------------------------------
+    def _init_state(self, batch: Dict[str, np.ndarray]) -> TrainState:
+        feats = featurize_batch(
+            jnp.asarray(batch["noisy_audio"][:1]),
+            jnp.asarray(batch["clean_audio"][:1]),
+            jnp.asarray(batch["length"][:1]),
+            self.stft_cfg,
+        )
+        init_rng, self.rng = jax.random.split(self.rng)
+        init = jax.jit(functools.partial(self.model.init, train=False))
+        variables = init(
+            {"params": init_rng, "dropout": jax.random.PRNGKey(0)},
+            feats.noisy_spec,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        opt_state = set_learning_rate(opt_state, self.scheduler(0))
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.asarray(0, jnp.int32),
+        )
+        return jax.tree_util.tree_map(
+            lambda x: x, shard_variables(state, self.mesh)
+        )
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        """One epoch. Metric scalars stay on device and are summed there;
+        the host syncs once per epoch (plus once every ``log_every``
+        batches for the batch log) — per-batch host syncs would serialize
+        the async dispatch pipeline (expensive on remote/tunneled TPUs)."""
+        totals: Dict[str, Array] = {}
+        count = 0
+        step_counter = 0
+        epoch_rng = jax.random.fold_in(self.rng, epoch)
+        for batch in self.train_loader:
+            audio_sec = float(batch["length"].sum()) / self.sample_rate
+            self.state, metrics = self.train_step(self.state, batch, epoch_rng)
+            count += 1
+            step_counter += 1
+            for k, v in metrics.items():
+                totals[k] = v if k not in totals else totals[k] + v
+            if step_counter % self.log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                self.logger.log_scalars(step_counter, host, prefix="train/batch_")
+            self.stopwatch.tick(audio_sec)
+        host_totals = jax.device_get(totals)
+        return {k: float(v) / max(count, 1) for k, v in host_totals.items()}
+
+    def validate(self) -> Dict[str, float]:
+        if self.val_loader is None:
+            return {}
+        totals: Dict[str, Array] = {}
+        count = 0
+        for batch in self.val_loader:
+            metrics = self.eval_step(self.state, batch)
+            for k, v in metrics.items():
+                totals[k] = v if k not in totals else totals[k] + v
+            count += 1
+        host_totals = jax.device_get(totals)
+        return {k: float(v) / max(count, 1) for k, v in host_totals.items()}
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        """Full training run (reference: training/trainer.py:253-348)."""
+        history = {"train_loss": [], "val_loss": []}
+        for epoch in range(self.current_epoch, self.num_epochs):
+            t0 = time.perf_counter()
+            train_metrics = self.train_epoch(epoch)
+            val_metrics = self.validate()
+            val_loss = val_metrics.get("total", train_metrics.get("total", 0.0))
+
+            # per-epoch scheduler step (plateau gets the val loss)
+            lr = self.scheduler(epoch + 1, val_loss)
+            self.state = self.state.replace(
+                opt_state=set_learning_rate(self.state.opt_state, lr)
+            )
+
+            step = int(jax.device_get(self.state.step))
+            scalars = {f"train_{k}": v for k, v in train_metrics.items()}
+            scalars.update({f"val_{k}": v for k, v in val_metrics.items()})
+            scalars["lr"] = lr
+            scalars["epoch_time_s"] = time.perf_counter() - t0
+            scalars["audio_seconds_per_s"] = self.stopwatch.audio_seconds_per_second
+            self.logger.log_scalars(step, scalars, prefix="epoch/")
+            history["train_loss"].append(train_metrics.get("total", 0.0))
+            history["val_loss"].append(val_loss)
+
+            improved = val_loss < self.best_val_loss - self.min_delta
+            if improved:
+                self.best_val_loss = val_loss
+                self.epochs_no_improve = 0
+                self.save(self.checkpoint_dir / "best_model", epoch)
+            else:
+                self.epochs_no_improve += 1
+            if self.save_every and (epoch + 1) % self.save_every == 0:
+                self.save(self.checkpoint_dir / f"checkpoint_epoch_{epoch+1}", epoch)
+            self.current_epoch = epoch + 1
+            if self.early_stopping and self.epochs_no_improve >= self.patience:
+                print(f"Early stopping at epoch {epoch + 1}")
+                break
+        self.save(self.checkpoint_dir / "final_model", self.current_epoch - 1)
+        return history
+
+    # ------------------------------------------------------------------
+    def save(self, path: str | Path, epoch: int) -> Path:
+        tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        return save_checkpoint(
+            path,
+            tree,
+            epoch=epoch,
+            global_step=int(jax.device_get(self.state.step)),
+            best_val_loss=self.best_val_loss,
+            config=self.config,
+        )
+
+    def load(self, path: str | Path) -> None:
+        """Resume: restores model/opt state + loop position
+        (reference: training/trainer.py:382-412 → epoch+1 semantics)."""
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        tree, meta = load_checkpoint(path, template)
+        self.state = TrainState(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"]),
+        )
+        self.state = shard_variables(self.state, self.mesh)
+        self.current_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_val_loss = float(meta.get("best_val_loss", float("inf")))

@@ -1,0 +1,206 @@
+"""End-to-end: synthetic VoiceBank-style dataset -> bucketed loader ->
+SPMD Trainer (8-device CPU mesh) -> loss decreases -> checkpoint/resume ->
+enhancement -> metric sanity. This is SURVEY.md §4's test-pyramid apex."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data import (
+    DataLoader,
+    VoiceBankDataset,
+    save_wav,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+    HybridViT,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+    Trainer,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.inference import (
+    AudioEnhancer,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation import (
+    Evaluator,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.parallel import (
+    make_mesh,
+)
+
+SR = 16000
+TINY_MODEL = dict(
+    encoder_channels=(4, 8, 16),
+    embed_dim=32,
+    num_heads=2,
+    num_layers=1,
+    decoder_channels=(16, 8, 4, 1),
+    dropout=0.0,
+    attn_dropout=0.0,
+    drop_path_rate=0.0,
+    max_patches=2000,
+    use_pallas_attention=False,
+)
+BUCKETS = (64, 96)
+
+
+def _make_dataset(root: Path, n: int = 16, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    clean_dir = root / "clean_trainset_28spk_wav"
+    noisy_dir = root / "noisy_trainset_28spk_wav"
+    for i in range(n):
+        dur = int(SR * rng.uniform(0.35, 0.6))
+        t = np.arange(dur) / SR
+        f0 = rng.uniform(150, 350)
+        clean = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(
+            2 * np.pi * 2 * f0 * t
+        )
+        noise = 0.2 * rng.standard_normal(dur)
+        save_wav(clean_dir / f"p{i:03d}_001.wav", clean.astype(np.float32), SR)
+        save_wav(
+            noisy_dir / f"p{i:03d}_001.wav", (clean + noise).astype(np.float32), SR
+        )
+    # test set mirrors train set
+    (root / "clean_testset_wav").mkdir(exist_ok=True)
+    (root / "noisy_testset_wav").mkdir(exist_ok=True)
+    for f in clean_dir.glob("*.wav"):
+        (root / "clean_testset_wav" / f.name).write_bytes(f.read_bytes())
+    for f in noisy_dir.glob("*.wav"):
+        (root / "noisy_testset_wav" / f.name).write_bytes(f.read_bytes())
+    return root
+
+
+def _config(tmp: Path):
+    return {
+        "data": {
+            "sample_rate": SR,
+            "train_val_split": 0.75,
+            "augmentation": {
+                "enabled": True,
+                "spec_augment": {"enabled": True, "freq_mask_width": 5,
+                                 "time_mask_width": 5},
+                "random_gain": {"enabled": True},
+            },
+        },
+        "audio": {"n_fft": 512, "hop_length": 128, "win_length": 512},
+        "training": {
+            "num_epochs": 2,
+            "batch_size": 8,
+            "seed": 0,
+            "gradient_clip_max_norm": 1.0,
+            "optimizer": {"name": "adamw", "lr": 3e-3},
+            "scheduler": {"name": "cosine", "min_lr": 1e-4},
+            "loss": {"l1_weight": 1.0, "stoi_weight": 0.1},
+            "early_stopping": {"enabled": False},
+            "checkpoint": {"save_dir": str(tmp / "ckpt"), "save_every_n_epochs": 0},
+            "logging": {"log_dir": str(tmp / "logs"), "use_tensorboard": False},
+        },
+        "mesh": {"data_parallel": -1, "model_parallel": 1},
+    }
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voicebank")
+    return _make_dataset(root)
+
+
+def test_loader_shapes(synth_root):
+    ds = VoiceBankDataset(synth_root, "train", {"data": {"train_val_split": 0.75}})
+    assert len(ds) == 12
+    loader = DataLoader(ds, batch_size=4, buckets=BUCKETS, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["noisy_audio"].shape == b["clean_audio"].shape
+        frames = 1 + b["noisy_audio"].shape[1] // 128
+        assert frames in BUCKETS
+        assert b["valid"].sum() == 4
+
+
+def test_train_loss_decreases_and_resume(synth_root, tmp_path):
+    cfg = _config(tmp_path)
+    train_ds = VoiceBankDataset(synth_root, "train", cfg)
+    val_ds = VoiceBankDataset(synth_root, "val", cfg)
+    train_loader = DataLoader(
+        train_ds, batch_size=8, buckets=BUCKETS, seed=0, num_workers=2
+    )
+    val_loader = DataLoader(
+        val_ds, batch_size=8, buckets=BUCKETS, shuffle=False, num_workers=2
+    )
+    model = HybridViT(**TINY_MODEL)
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    trainer = Trainer(
+        model, cfg, train_loader, val_loader, mesh=mesh,
+        checkpoint_dir=tmp_path / "ckpt", log_dir=tmp_path / "logs",
+    )
+    history = trainer.train()
+    assert len(history["train_loss"]) == 2
+    assert history["train_loss"][1] < history["train_loss"][0]
+    assert (tmp_path / "ckpt" / "final_model" / "state.msgpack").exists()
+
+    # metrics were logged
+    logfiles = list((tmp_path / "logs").glob("**/metrics.jsonl"))
+    assert logfiles and logfiles[0].read_text().strip()
+
+    # ---- resume restores loop position ----
+    trainer2 = Trainer(
+        model, cfg, train_loader, val_loader, mesh=mesh,
+        checkpoint_dir=tmp_path / "ckpt", log_dir=tmp_path / "logs2",
+        resume_from=tmp_path / "ckpt" / "final_model",
+    )
+    assert trainer2.current_epoch == 2
+    s1 = int(jax.device_get(trainer.state.step))
+    s2 = int(jax.device_get(trainer2.state.step))
+    assert s1 == s2
+
+    # ---- enhance with the trained weights ----
+    variables = {
+        "params": jax.device_get(trainer.state.params),
+        "batch_stats": jax.device_get(trainer.state.batch_stats),
+    }
+    enhancer = AudioEnhancer(model, variables, cfg, buckets=BUCKETS)
+    noisy, clean = train_ds.load_pair(0)
+    enhanced = enhancer.enhance(noisy)
+    assert enhanced.shape == noisy.shape
+    assert np.all(np.isfinite(enhanced))
+
+    # ---- evaluator over the synthetic test set ----
+    ev = Evaluator(enhancer, SR, include_pesq=False)
+    results = ev.evaluate_dataset(
+        synth_root / "noisy_testset_wav",
+        synth_root / "clean_testset_wav",
+        batch_size=8,
+        max_files=4,
+        progress=False,
+    )
+    summary = results["summary"]
+    assert summary["si_sdr"]["count"] == 4
+    out = Evaluator.save_results(results["summary"], tmp_path / "results.json")
+    assert json.loads(out.read_text())["si_sdr"]["mean"] is not None
+    report = Evaluator.format_report(results)
+    assert "si_sdr" in report
+
+
+def test_streaming_matches_batch_roughly(synth_root):
+    model = HybridViT(**TINY_MODEL)
+    x = jnp.zeros((1, 257, 64, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    enhancer = AudioEnhancer(model, variables, {}, buckets=(64, 128, 256))
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(SR * 3).astype(np.float32) * 0.1
+    full = enhancer.enhance(wav)
+    stream = enhancer.enhance_streaming(
+        wav, chunk_seconds=1.0, overlap_seconds=0.2
+    )
+    assert stream.shape == wav.shape
+    assert np.all(np.isfinite(stream))
+    # untrained net output differs at chunk boundaries; just sanity-check scale
+    assert np.abs(stream).max() < 10 * max(np.abs(full).max(), 1e-3)
