@@ -10,6 +10,8 @@ from pathlib import Path
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Enhance noisy speech")
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--device", default=None, choices=["tpu", "cpu", "axon"],
+                   help="backend override (reference: --device cuda|cpu)")
     p.add_argument("--config-dir", default="config")
     p.add_argument("--input", required=True, help="wav file or directory")
     p.add_argument("--output", required=True, help="wav file or directory")
@@ -23,6 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", "axon" if args.device == "tpu" else args.device
+        )
 
     from ..data.wavio import load_audio, save_wav
     from ..inference import AudioEnhancer, load_model_for_inference

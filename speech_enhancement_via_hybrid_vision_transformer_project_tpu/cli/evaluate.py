@@ -12,6 +12,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="Evaluate a trained enhancer on VoiceBank-DEMAND"
     )
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--device", default=None, choices=["tpu", "cpu", "axon"],
+                   help="backend override (reference: --device cuda|cpu)")
     p.add_argument("--config-dir", default="config")
     p.add_argument("--data-root", default=None)
     p.add_argument("--noisy-dir", default=None)
@@ -27,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", "axon" if args.device == "tpu" else args.device
+        )
 
     from ..evaluation import Evaluator
     from ..inference import AudioEnhancer, load_model_for_inference

@@ -21,6 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Train the Hybrid ViT speech enhancer (TPU-native)"
     )
+    p.add_argument("--device", default=None, choices=["tpu", "cpu", "axon"],
+                   help="backend override (reference: --device cuda|cpu)")
     p.add_argument("--config-dir", default="config", help="YAML config dir")
     p.add_argument("--data-root", default=None, help="VoiceBank-DEMAND root")
     p.add_argument("--checkpoint-dir", default=None)
@@ -39,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", "axon" if args.device == "tpu" else args.device
+        )
 
     from ..data import DataLoader, VoiceBankDataset
     from ..models import create_hybrid_vit

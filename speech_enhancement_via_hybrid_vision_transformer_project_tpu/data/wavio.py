@@ -76,16 +76,36 @@ def read_wav_raw(path: str | Path) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+def _native():
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def load_audio(
     path: str | Path,
     sample_rate: int | None = 16000,
     mono: bool = True,
+    use_native: bool = True,
 ) -> tuple[np.ndarray, int]:
     """Load audio as float32; mono mixdown + resample to ``sample_rate``
-    (librosa.load semantics; reference: utils/audio_processing.py:15-43)."""
-    x, sr = read_wav_raw(path)
-    if mono and x.ndim == 2:
-        x = x.mean(axis=1)
+    (librosa.load semantics; reference: utils/audio_processing.py:15-43).
+
+    Decodes through the C++ runtime (native/) when built; numpy otherwise.
+    """
+    nat = _native() if (use_native and mono) else None
+    if nat is not None:
+        try:
+            x, sr = nat.read_wav(path)
+        except Exception:
+            nat = None
+    if nat is None:
+        x, sr = read_wav_raw(path)
+        if mono and x.ndim == 2:
+            x = x.mean(axis=1)
     if sample_rate is not None and sr != sample_rate:
         x = _resample(x, sr, sample_rate)
         sr = sample_rate
