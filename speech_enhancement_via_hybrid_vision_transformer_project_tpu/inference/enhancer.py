@@ -41,7 +41,7 @@ class AudioEnhancer:
         variables,
         config: Optional[Dict] = None,
         *,
-        stft_method: str = "matmul",
+        stft_method: str = "auto",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
     ):
         self.model = model

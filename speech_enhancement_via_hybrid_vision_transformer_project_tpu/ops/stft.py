@@ -187,6 +187,10 @@ def stft(
       ``(real, imag)`` each ``[..., n_bins, n_frames]`` float32 — the
       bins-first layout the reference uses (librosa's ``[F, T]``).
     """
+    if method in ("auto", "pallas"):
+        from .pallas_stft import stft_auto
+
+        return stft_auto(x, cfg, method=method)
     x = x.astype(jnp.float32)
     frames = frame_signal(x, cfg)  # [..., N, n_fft]
     if method == "matmul":

@@ -1,0 +1,172 @@
+"""Checkpoint utils, StableHLO export, TP sharding rules, grad
+accumulation, and BN-sync behavior on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+    HybridViT,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.parallel import (
+    MODEL_AXIS,
+    make_mesh,
+    shard_variables,
+    tp_param_specs,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.utils import (
+    checkpoint_info,
+    export_stablehlo,
+    load_checkpoint,
+    load_model_weights,
+    save_checkpoint,
+)
+
+SMALL = dict(
+    encoder_channels=(4, 8, 16),
+    embed_dim=32,
+    num_heads=2,
+    num_layers=2,
+    decoder_channels=(16, 8, 4, 1),
+    dropout=0.0,
+    attn_dropout=0.0,
+    drop_path_rate=0.0,
+    max_patches=2000,
+    use_pallas_attention=False,
+)
+
+
+def _variables(model, t=64):
+    x = jnp.zeros((1, 257, t, 1), jnp.float32)
+    return model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x,
+        train=False,
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = HybridViT(**SMALL)
+    variables = _variables(model)
+    path = save_checkpoint(
+        tmp_path / "ck",
+        variables,
+        epoch=7,
+        global_step=123,
+        best_val_loss=0.5,
+        config={"a": 1},
+    )
+    restored, meta = load_checkpoint(path, variables)
+    assert meta["epoch"] == 7 and meta["global_step"] == 123
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    info = checkpoint_info(path)
+    assert info["size_bytes"] > 0 and info["best_val_loss"] == 0.5
+
+
+def test_load_model_weights_from_trainstate_checkpoint(tmp_path):
+    model = HybridViT(**SMALL)
+    variables = _variables(model)
+    tree = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+        "opt_state": {"dummy": jnp.zeros(3)},
+        "step": jnp.asarray(5),
+    }
+    save_checkpoint(tmp_path / "full", tree, epoch=1)
+    restored = load_model_weights(tmp_path / "full", variables)
+    x = jnp.ones((1, 257, 64, 1))
+    y1 = model.apply(variables, x)
+    y2 = model.apply(restored, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    model = HybridViT(**SMALL)
+    variables = _variables(model)
+    x = jnp.ones((1, 257, 64, 1), jnp.float32)
+
+    def fwd(x):
+        return model.apply(variables, x, train=False)
+
+    path = export_stablehlo(tmp_path / "model.stablehlo", fwd, (x,))
+    from jax import export as jexport
+
+    restored = jexport.deserialize(path.read_bytes())
+    y1 = np.asarray(fwd(x))
+    y2 = np.asarray(restored.call(x))
+    # serialized program may fuse differently; fp32-level agreement
+    np.testing.assert_allclose(y1, y2, atol=1e-5)
+
+
+def test_tp_param_specs_shard_transformer_only():
+    model = HybridViT(**SMALL)
+    variables = _variables(model)
+    specs = tp_param_specs(variables)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(specs, sep="/")
+    qkv = flat["params/transformer/block_0/attn/Dense_0/kernel"]
+    proj = flat["params/transformer/block_0/attn/Dense_1/kernel"]
+    mlp0 = flat["params/transformer/block_0/mlp/Dense_0/kernel"]
+    mlp1 = flat["params/transformer/block_0/mlp/Dense_1/kernel"]
+    enc = flat["params/encoder_0/Conv_0/kernel"]
+    assert qkv == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    assert proj == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    assert mlp0 == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    assert mlp1 == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    assert enc == jax.sharding.PartitionSpec()
+
+
+def test_tp_sharded_forward_matches_replicated():
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    model = HybridViT(**SMALL)
+    variables = _variables(model)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 257, 64, 1)), jnp.float32
+    )
+    y_ref = model.apply(variables, x, train=False)
+    sharded = shard_variables(variables, mesh, use_tp=True)
+    y_tp = jax.jit(lambda v, x: model.apply(v, x, train=False))(sharded, x)
+    np.testing.assert_allclose(
+        np.asarray(y_tp), np.asarray(y_ref), atol=2e-5
+    )
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """optax.MultiSteps(k) over k micro-batches == one big-batch step."""
+    import optax
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        chain_with_clip,
+        create_optimizer,
+    )
+
+    def loss_fn(p, x, y):
+        return jnp.mean((x @ p - y) ** 2)
+
+    rng = np.random.default_rng(0)
+    p0 = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+
+    base = chain_with_clip(create_optimizer({}), 0.0)
+    # big batch
+    opt_state = base.init(p0)
+    g = jax.grad(loss_fn)(p0, x, y)
+    up, _ = base.update(g, opt_state, p0)
+    p_big = optax.apply_updates(p0, up)
+
+    # two half batches with MultiSteps(2); mean-of-grads == big-batch grad
+    acc = optax.MultiSteps(base, every_k_schedule=2)
+    st = acc.init(p0)
+    p = p0
+    for i in range(2):
+        gi = jax.grad(loss_fn)(p, x[i * 4 : (i + 1) * 4], y[i * 4 : (i + 1) * 4])
+        up, st = acc.update(gi, st, p)
+        p = optax.apply_updates(p, up)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_big), atol=1e-6)

@@ -142,3 +142,42 @@ def test_win_shorter_than_nfft(rng):
     re, im = stft(x, cfg)
     np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-3, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused STFT (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_stft_matches_matmul(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.pallas_stft import (
+        pallas_stft,
+    )
+
+    x = rng.standard_normal((2, 16000)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        re_p, im_p, mag_p = pallas_stft(jnp.asarray(x), CFG, return_mag=True)
+    re, im = stft(x, CFG, method="matmul")
+    np.testing.assert_allclose(np.asarray(re_p), np.asarray(re), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im_p), np.asarray(im), atol=2e-3)
+    mag = np.sqrt(np.asarray(re) ** 2 + np.asarray(im) ** 2)
+    np.testing.assert_allclose(np.asarray(mag_p), mag, atol=2e-3)
+    assert re_p.shape == re.shape
+
+
+def test_pallas_stft_odd_length(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.pallas_stft import (
+        pallas_stft,
+    )
+
+    x = rng.standard_normal(5123).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        re_p, im_p = pallas_stft(jnp.asarray(x), CFG)
+    re, im = stft(x, CFG, method="matmul")
+    assert re_p.shape == re.shape == (CFG.num_bins, CFG.num_frames(5123))
+    np.testing.assert_allclose(np.asarray(re_p), np.asarray(re), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im_p), np.asarray(im), atol=2e-3)
