@@ -20,6 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunked overlap-add mode for long audio")
     p.add_argument("--chunk-seconds", type=float, default=2.0)
     p.add_argument("--overlap-seconds", type=float, default=0.25)
+    p.add_argument("--exact", action="store_true",
+                   help="process at exact length (reference-parity mode)")
     return p
 
 
@@ -65,7 +67,7 @@ def main(argv=None) -> int:
                 audio, args.chunk_seconds, args.overlap_seconds
             )
         else:
-            enhanced = enhancer.enhance(audio)
+            enhanced = enhancer.enhance(audio, exact=args.exact)
         save_wav(out, enhanced, sr)
         print(f"enhanced {inp} -> {out} ({len(audio)/sr:.2f}s)")
     return 0

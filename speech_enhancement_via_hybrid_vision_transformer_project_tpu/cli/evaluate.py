@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-files", type=int, default=None)
     p.add_argument("--no-pesq", action="store_true")
+    p.add_argument("--exact", action="store_true",
+                   help="reference-exact per-file enhancement (no bucket "
+                        "padding; slower — one compile per length)")
     return p
 
 
@@ -70,6 +73,7 @@ def main(argv=None) -> int:
         output_dir=args.save_enhanced,
         batch_size=args.batch_size,
         max_files=args.max_files,
+        exact=args.exact,
     )
     print(Evaluator.format_report(results))
     Evaluator.save_results(results["summary"], args.output)

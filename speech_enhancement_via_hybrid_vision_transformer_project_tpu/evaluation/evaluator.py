@@ -66,6 +66,7 @@ class Evaluator:
         batch_size: int = 8,
         max_files: Optional[int] = None,
         progress: bool = True,
+        exact: bool = False,
     ) -> Dict[str, Dict[str, float]]:
         """Sweep a test set (reference: evaluator.py:157-231): pair files by
         name, enhance batched, score per file, aggregate mean±std."""
@@ -87,11 +88,20 @@ class Evaluator:
         audio_seconds = sum(len(w) for w in noisy_wavs) / self.sample_rate
         t0 = time.perf_counter()
         done = 0
+        if exact:
+            # reference-exact: per-file at true length (no bucket padding;
+            # one compile per distinct length — parity runs only)
+            batch_size = 1
         for i in range(0, len(order), batch_size):
             idx = order[i : i + batch_size]
-            enhanced = self.enhancer.enhance_batch(
-                [noisy_wavs[j] for j in idx]
-            )
+            if exact:
+                enhanced = [
+                    self.enhancer.enhance(noisy_wavs[idx[0]], exact=True)
+                ]
+            else:
+                enhanced = self.enhancer.enhance_batch(
+                    [noisy_wavs[j] for j in idx]
+                )
             for j, enh in zip(idx, enhanced):
                 per_file[files[j].name] = self.evaluate_pair(
                     noisy_wavs[j], clean_wavs[j], enhanced=enh

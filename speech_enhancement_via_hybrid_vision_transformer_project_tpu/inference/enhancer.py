@@ -97,8 +97,28 @@ class AudioEnhancer:
         return (bucket - 1) * self.stft_cfg.hop_length
 
     # ------------------------------------------------------------------
-    def enhance(self, noisy_audio: np.ndarray, normalize: bool = True) -> np.ndarray:
-        """Enhance one waveform (reference: enhancer.py:55-135)."""
+    def enhance(
+        self,
+        noisy_audio: np.ndarray,
+        normalize: bool = True,
+        exact: bool = False,
+    ) -> np.ndarray:
+        """Enhance one waveform (reference: enhancer.py:55-135).
+
+        ``exact=True`` processes the utterance at its exact length (no
+        bucket padding) — bit-faithful to the reference, which enhances
+        file-at-a-time with no padding; zero-padded frames otherwise
+        perturb global attention and the max-normalization statistic
+        (maskless by design, SURVEY.md §7.8). Costs one compile per
+        distinct length; bucketed batches are the throughput path.
+        """
+        if exact:
+            x = np.asarray(noisy_audio, np.float32)[None, :]
+            if not normalize:
+                out = self._enhance_nonorm(jnp.asarray(x), x.shape[-1])
+            else:
+                out = self._core(x.shape[-1])(self.variables, jnp.asarray(x))
+            return np.asarray(out)[0]
         return self.enhance_batch([noisy_audio], normalize=normalize)[0]
 
     def enhance_batch(

@@ -225,6 +225,8 @@ def istft(
     re = jnp.swapaxes(re.astype(jnp.float32), -1, -2)  # [..., N, F]
     im = jnp.swapaxes(im.astype(jnp.float32), -1, -2)
     n_frames = re.shape[-2]
+    if method in ("auto", "pallas"):
+        method = "matmul"  # no fused iSTFT kernel; OLA is cheap in XLA
     if method == "matmul":
         a, b = _inverse_dft_mats(cfg.n_fft)
         frames = jnp.matmul(re, jnp.asarray(a, jnp.float32), precision=precision)

@@ -1,0 +1,105 @@
+"""End-to-end enhancement parity: our jitted AudioEnhancer pipeline vs the
+reference's enhance() semantics (inference/enhancer.py:55-135) executed
+with the reference torch model and torch.stft as the oracle.
+
+This exercises the exact reference contract: peak normalize -> STFT ->
+max-only magnitude normalize -> model -> denormalize -> recombine with
+noisy phase -> iSTFT(length) -> output denormalize (SURVEY.md §7.2-7.4).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.inference import (
+    AudioEnhancer,
+)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+    HybridViT,
+)
+
+from test_model import SMALL, _init, _torch_reference_model, _transplant
+
+
+def _reference_enhance(torch, torch_model, noisy: np.ndarray) -> np.ndarray:
+    """The reference enhance() pipeline, torch.stft standing in for librosa
+    (they agree for these params, tests/test_stft.py)."""
+    max_val = float(np.abs(noisy).max())
+    if max_val > 1e-8:
+        x = noisy / max_val
+    else:
+        x, max_val = noisy, 1.0
+    xt = torch.from_numpy(x.astype(np.float32))
+    spec = torch.stft(
+        xt, n_fft=512, hop_length=128, win_length=512,
+        window=torch.hann_window(512, periodic=True),
+        center=True, pad_mode="reflect", return_complex=True,
+    )
+    mag = spec.abs()
+    phase = torch.angle(spec)
+    mag_max = float(mag.max())
+    if mag_max <= 1e-8:
+        mag_max = 1.0
+    normed = (mag / mag_max)[None, None]
+    with torch.no_grad():
+        out = torch_model(normed).squeeze(0).squeeze(0)
+    enhanced_mag = out * mag_max
+    enhanced = enhanced_mag * torch.exp(1j * phase)
+    y = torch.istft(
+        enhanced, n_fft=512, hop_length=128, win_length=512,
+        window=torch.hann_window(512, periodic=True),
+        center=True, length=len(noisy),
+    )
+    return (y.numpy() * max_val).astype(np.float32)
+
+
+def test_enhancer_matches_reference_pipeline(rng):
+    cfg = dict(SMALL, max_patches=10000)
+    torch_model, torch = _torch_reference_model(cfg)
+    model = HybridViT(
+        dropout=0.0, attn_dropout=0.0, drop_path_rate=0.0,
+        use_pallas_attention=False, **cfg
+    )
+    variables, _ = _init(model, shape=(1, 257, 64, 1))
+    variables = _transplant(torch_model, variables)
+
+    n = 63 * 128  # exactly one bucket -> zero padding divergence
+    t = np.arange(n) / 16000
+    noisy = (
+        0.4 * np.sin(2 * np.pi * 200 * t)
+        + 0.1 * rng.standard_normal(n)
+    ).astype(np.float32)
+
+    ref = _reference_enhance(torch, torch_model, noisy)
+    enhancer = AudioEnhancer(
+        model, variables, {}, buckets=(64,), stft_method="matmul"
+    )
+    ours = enhancer.enhance(noisy)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_exact_mode_matches_reference_arbitrary_length(rng):
+    """exact=True reproduces the reference pipeline at a length that does
+    NOT land on a bucket boundary (bucket padding would perturb the
+    maskless global attention — the reference never pads at inference)."""
+    cfg = dict(SMALL, max_patches=10000)
+    torch_model, torch = _torch_reference_model(cfg)
+    model = HybridViT(
+        dropout=0.0, attn_dropout=0.0, drop_path_rate=0.0,
+        use_pallas_attention=False, **cfg
+    )
+    variables, _ = _init(model, shape=(1, 257, 64, 1))
+    variables = _transplant(torch_model, variables)
+
+    n = 8147  # arbitrary length, not a bucket boundary
+    noisy = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    ref = _reference_enhance(torch, torch_model, noisy)
+    enhancer = AudioEnhancer(model, variables, {}, stft_method="matmul")
+    ours = enhancer.enhance(noisy, exact=True)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
