@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark.
+
+Measures the full jitted train step (on-device featurize -> fwd -> loss ->
+bwd -> clip -> AdamW) for a given model size and batch shape; reports
+ms/step, audio-seconds/s and achieved model FLOP/s.
+
+    python benchmarks/bench_train.py [--scaled] [--batch 16] [--frames 256]
+
+``--scaled`` uses the 12-layer / 1024-dim / 16-head stress config
+(BASELINE.json config #4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaled", action="store_true",
+                    help="12L/1024d/16h stress config")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--device", default=None, choices=["tpu", "cpu"])
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.device:
+        jax.config.update(
+            "jax_platforms", "axon" if args.device == "tpu" else args.device
+        )
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.augmentation import (
+        SpecAugmentConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.pipeline import (
+        featurize_batch,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        count_parameters,
+        create_hybrid_vit,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.stft import (
+        STFTConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        TrainState,
+        chain_with_clip,
+        create_optimizer,
+        make_step_fns,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.losses import (
+        LossConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.utils import (
+        enable_compilation_cache,
+        jit_init,
+    )
+
+    enable_compilation_cache()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    overrides = dict(compute_dtype=dtype)
+    if args.scaled:
+        overrides.update(
+            embed_dim=1024, num_heads=16, num_layers=12,
+        )
+    model = create_hybrid_vit(**overrides)
+
+    stft_cfg = STFTConfig()
+    b, t = args.batch, args.frames
+    wav_len = (t - 1) * stft_cfg.hop_length
+    rng = np.random.default_rng(0)
+    batch = {
+        "noisy_audio": rng.standard_normal((b, wav_len)).astype(np.float32),
+        "clean_audio": rng.standard_normal((b, wav_len)).astype(np.float32),
+        "length": np.full((b,), wav_len, np.int32),
+        "valid": np.ones((b,), bool),
+    }
+    feats = featurize_batch(
+        jnp.asarray(batch["noisy_audio"][:1]),
+        jnp.asarray(batch["clean_audio"][:1]),
+        jnp.asarray(batch["length"][:1]),
+        stft_cfg,
+    )
+    variables = jit_init(model, feats.noisy_spec)
+    counts = count_parameters(variables)
+    print(f"model: {counts['total']/1e6:.2f}M params  dtype={dtype.__name__}")
+
+    opt = chain_with_clip(create_optimizer({}), 1.0)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    train_step, _ = make_step_fns(
+        model, opt, LossConfig(), stft_cfg, SpecAugmentConfig()
+    )
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    state, m = train_step(state, batch, key)
+    jax.block_until_ready(m["total"])
+    print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = train_step(state, batch, key)
+    jax.block_until_ready(m["total"])
+    dt = (time.perf_counter() - t0) / args.iters
+
+    audio_s = b * wav_len / 16000
+    # rough fwd FLOPs: 2*params*tokens-equivalent is meaningless for conv
+    # nets; report step time + audio throughput (the north-star unit)
+    print(
+        f"train step: {dt*1e3:.2f} ms  "
+        f"throughput: {audio_s/dt:,.0f} audio-s/s  "
+        f"steps/s: {1/dt:,.1f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

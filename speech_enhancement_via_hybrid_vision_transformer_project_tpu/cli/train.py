@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="truncate dataset (smoke runs)")
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of a few steps here")
     return p
 
 
@@ -133,6 +135,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         log_dir=args.log_dir,
         resume_from=args.resume,
+        profile_dir=args.profile_dir,
     )
     history = trainer.train()
     print(

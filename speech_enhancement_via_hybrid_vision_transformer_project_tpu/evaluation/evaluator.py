@@ -92,17 +92,12 @@ class Evaluator:
             # reference-exact: per-file at true length (no bucket padding;
             # one compile per distinct length — parity runs only)
             batch_size = 1
-        for i in range(0, len(order), batch_size):
-            idx = order[i : i + batch_size]
-            if exact:
-                enhanced = [
-                    self.enhancer.enhance(noisy_wavs[idx[0]], exact=True)
-                ]
-            else:
-                enhanced = self.enhancer.enhance_batch(
-                    [noisy_wavs[j] for j in idx]
-                )
-            for j, enh in zip(idx, enhanced):
+
+        def consume(idx, device_out):
+            nonlocal done
+            out = np.asarray(device_out)  # blocks on this batch only
+            for row, j in enumerate(idx):
+                enh = out[row, : len(noisy_wavs[j])]
                 per_file[files[j].name] = self.evaluate_pair(
                     noisy_wavs[j], clean_wavs[j], enhanced=enh
                 )
@@ -115,6 +110,38 @@ class Evaluator:
                 print(
                     f"\r[eval] {done}/{len(files)} files", end="", flush=True
                 )
+
+        # pipelined: dispatch batch i+1 before consuming batch i, so host
+        # metric computation overlaps TPU compute (JAX async dispatch)
+        from collections import deque
+
+        pending: deque = deque()
+        for i in range(0, len(order), batch_size):
+            idx = order[i : i + batch_size]
+            if exact:
+                enh = self.enhancer.enhance(noisy_wavs[idx[0]], exact=True)
+                per_file[files[idx[0]].name] = self.evaluate_pair(
+                    noisy_wavs[idx[0]], clean_wavs[idx[0]], enhanced=enh
+                )
+                if output_dir is not None:
+                    save_wav(
+                        Path(output_dir) / files[idx[0]].name,
+                        enh,
+                        self.sample_rate,
+                    )
+                done += 1
+                if progress:
+                    print(f"\r[eval] {done}/{len(files)} files", end="",
+                          flush=True)
+                continue
+            dev = self.enhancer.enhance_batch_async(
+                [noisy_wavs[j] for j in idx]
+            )
+            pending.append((idx, dev))
+            if len(pending) > 2:
+                consume(*pending.popleft())
+        while pending:
+            consume(*pending.popleft())
         if progress:
             print()
         elapsed = time.perf_counter() - t0

@@ -121,12 +121,13 @@ class AudioEnhancer:
             return np.asarray(out)[0]
         return self.enhance_batch([noisy_audio], normalize=normalize)[0]
 
-    def enhance_batch(
+    def enhance_batch_async(
         self, wavs: List[np.ndarray], normalize: bool = True
-    ) -> List[np.ndarray]:
-        """Enhance a list of waveforms as one padded batch."""
-        if not wavs:
-            return []
+    ) -> Array:
+        """Dispatch enhancement of one padded batch and return the
+        *device* result without blocking — callers overlap host work
+        (metrics, file I/O, next-batch prep) with TPU compute via JAX's
+        async dispatch. ``[B, padded_len]``; trim rows to true lengths."""
         wav_len = self._padded_len(max(len(w) for w in wavs))
         b = len(wavs)
         batch = np.zeros((b, wav_len), np.float32)
@@ -134,12 +135,16 @@ class AudioEnhancer:
             n = min(len(w), wav_len)
             batch[i, :n] = np.asarray(w[:n], np.float32)
         if not normalize:
-            # skip peak normalization: pre-scale so the core's normalize
-            # becomes identity is impossible in general; run a dedicated path
-            out = self._enhance_nonorm(jnp.asarray(batch), wav_len)
-        else:
-            out = self._core(wav_len)(self.variables, jnp.asarray(batch))
-        out = np.asarray(out)
+            return self._enhance_nonorm(jnp.asarray(batch), wav_len)
+        return self._core(wav_len)(self.variables, jnp.asarray(batch))
+
+    def enhance_batch(
+        self, wavs: List[np.ndarray], normalize: bool = True
+    ) -> List[np.ndarray]:
+        """Enhance a list of waveforms as one padded batch."""
+        if not wavs:
+            return []
+        out = np.asarray(self.enhance_batch_async(wavs, normalize))
         results = []
         for i, w in enumerate(wavs):
             r = out[i, : len(w)]

@@ -206,9 +206,11 @@ class Trainer:
         log_dir: Optional[str | Path] = None,
         resume_from: Optional[str | Path] = None,
         example_batch: Optional[Dict[str, np.ndarray]] = None,
+        profile_dir: Optional[str | Path] = None,
     ):
         self.model = model
         self.config = config
+        self.profile_dir = profile_dir
         self.train_loader = train_loader
         self.val_loader = val_loader
         tc = config.get("training", {})
@@ -287,6 +289,46 @@ class Trainer:
             mesh=self.mesh,
         )
         self.stopwatch = Stopwatch()
+        lc = tc.get("logging", {})
+        # audio-sample logging: the reference config promises this
+        # (train_config.yaml:73-74) but nothing implements it (SURVEY §5)
+        self.log_audio_samples = lc.get("save_audio_samples", False) and (
+            self.logger.tb is not None
+        )
+        self.num_audio_samples = lc.get("num_audio_samples", 5)
+
+    # ------------------------------------------------------------------
+    def _log_audio_samples(self, epoch: int) -> None:
+        """Enhance a few validation utterances and write noisy/enhanced
+        audio to TensorBoard."""
+        if not self.log_audio_samples or self.val_loader is None:
+            return
+        try:
+            from ..inference.enhancer import AudioEnhancer
+
+            variables = {
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+            }
+            enhancer = AudioEnhancer(
+                self.model, variables, self.config,
+                buckets=tuple(self.train_loader.buckets),
+            )
+            ds = self.val_loader.dataset
+            n = min(self.num_audio_samples, len(ds))
+            wavs = [ds.load_pair(i)[0] for i in range(n)]
+            outs = enhancer.enhance_batch(wavs)
+            step = int(jax.device_get(self.state.step))
+            for i, (noisy, enh) in enumerate(zip(wavs, outs)):
+                if epoch == 0:
+                    self.logger.log_audio(
+                        step, f"audio/noisy_{i}", noisy, self.sample_rate
+                    )
+                self.logger.log_audio(
+                    step, f"audio/enhanced_{i}", enh, self.sample_rate
+                )
+        except Exception as e:  # never kill training over logging
+            print(f"warning: audio sample logging failed: {e}")
 
     # ------------------------------------------------------------------
     def _init_state(self, batch: Dict[str, np.ndarray]) -> TrainState:
@@ -326,17 +368,29 @@ class Trainer:
         count = 0
         step_counter = 0
         epoch_rng = jax.random.fold_in(self.rng, epoch)
+        profiling = False
         for batch in self.train_loader:
+            # jax.profiler trace of a few steady-state steps (SURVEY §5:
+            # the reference has no profiling; TPU build adds trace hooks)
+            if self.profile_dir and epoch == 0 and count == 3:
+                jax.profiler.start_trace(str(self.profile_dir))
+                profiling = True
             audio_sec = float(batch["length"].sum()) / self.sample_rate
             self.state, metrics = self.train_step(self.state, batch, epoch_rng)
             count += 1
             step_counter += 1
+            if profiling and count >= 8:
+                jax.block_until_ready(metrics["total"])
+                jax.profiler.stop_trace()
+                profiling = False
             for k, v in metrics.items():
                 totals[k] = v if k not in totals else totals[k] + v
             if step_counter % self.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 self.logger.log_scalars(step_counter, host, prefix="train/batch_")
             self.stopwatch.tick(audio_sec)
+        if profiling:  # fewer than 8 batches in the epoch
+            jax.profiler.stop_trace()
         host_totals = jax.device_get(totals)
         return {k: float(v) / max(count, 1) for k, v in host_totals.items()}
 
@@ -379,6 +433,7 @@ class Trainer:
             history["train_loss"].append(train_metrics.get("total", 0.0))
             history["val_loss"].append(val_loss)
 
+            self._log_audio_samples(epoch)
             improved = val_loss < self.best_val_loss - self.min_delta
             if improved:
                 self.best_val_loss = val_loss
