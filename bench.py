@@ -57,7 +57,7 @@ def main() -> None:
 
     enable_compilation_cache()
     variables = jit_init(model, x0)
-    enhancer = AudioEnhancer(model, variables, {})
+    enhancer = AudioEnhancer(model, variables, {}, io_dtype="int16")
 
     # warmup (compile)
     out = enhancer.enhance_batch(wavs)

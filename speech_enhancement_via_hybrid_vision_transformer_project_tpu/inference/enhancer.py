@@ -43,6 +43,7 @@ class AudioEnhancer:
         *,
         stft_method: str = "auto",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        io_dtype: str = "float32",
     ):
         self.model = model
         self.variables = variables
@@ -57,6 +58,14 @@ class AudioEnhancer:
         self.sample_rate = audio_cfg.get("sample_rate", 16000)
         self.stft_method = stft_method
         self.buckets = tuple(buckets)
+        # io_dtype='int16': move PCM16<->float conversion onto the device so
+        # host<->device transfers are half-width in both directions — the
+        # sources and sinks are PCM16 WAVs, so this loses nothing beyond
+        # the quantization the output file applies anyway. Wins when the
+        # link is the bottleneck (remote TPU, DCN-fed serving).
+        if io_dtype not in ("float32", "int16"):
+            raise ValueError(f"io_dtype must be float32|int16, got {io_dtype}")
+        self.io_dtype = io_dtype
         self._core_cache: dict = {}
 
     # ------------------------------------------------------------------
@@ -68,8 +77,12 @@ class AudioEnhancer:
         method = self.stft_method
         model = self.model
 
+        io16 = self.io_dtype == "int16"
+
         @jax.jit
         def run(variables, noisy: Array) -> Array:  # [B, wav_len]
+            if io16:
+                noisy = noisy.astype(jnp.float32) / 32768.0
             # peak normalize (reference: enhancer.py:71-79)
             max_val = jnp.max(jnp.abs(noisy), axis=-1, keepdims=True)
             scale = jnp.where(max_val > 1e-8, max_val, 1.0)
@@ -84,7 +97,11 @@ class AudioEnhancer:
             enhanced_mag = out * mag_max
             re2, im2 = polar(enhanced_mag, phase)
             y = istft(re2, im2, cfg, length=wav_len, method=method)
-            return y * scale
+            y = y * scale
+            if io16:
+                y = jnp.clip(y, -1.0, 1.0) * 32767.0
+                return y.astype(jnp.int16)
+            return y
 
         self._core_cache[wav_len] = run
         return run
@@ -130,6 +147,14 @@ class AudioEnhancer:
         async dispatch. ``[B, padded_len]``; trim rows to true lengths."""
         wav_len = self._padded_len(max(len(w) for w in wavs))
         b = len(wavs)
+        if self.io_dtype == "int16" and normalize:
+            batch = np.zeros((b, wav_len), np.int16)
+            for i, w in enumerate(wavs):
+                n = min(len(w), wav_len)
+                batch[i, :n] = (
+                    np.clip(np.asarray(w[:n], np.float32), -1.0, 1.0) * 32767.0
+                ).astype(np.int16)
+            return self._core(wav_len)(self.variables, jnp.asarray(batch))
         batch = np.zeros((b, wav_len), np.float32)
         for i, w in enumerate(wavs):
             n = min(len(w), wav_len)
@@ -145,6 +170,8 @@ class AudioEnhancer:
         if not wavs:
             return []
         out = np.asarray(self.enhance_batch_async(wavs, normalize))
+        if out.dtype == np.int16:
+            out = out.astype(np.float32) / 32767.0
         results = []
         for i, w in enumerate(wavs):
             r = out[i, : len(w)]

@@ -270,3 +270,33 @@ def test_package_alias():
     import sevit_tpu
 
     assert sevit_tpu is sevit
+
+
+def test_enhancer_int16_io_matches_float(rng):
+    import jax
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.inference import (
+        AudioEnhancer,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        HybridViT,
+    )
+
+    model = HybridViT(
+        encoder_channels=(4, 8, 16), embed_dim=32, num_heads=2, num_layers=1,
+        decoder_channels=(16, 8, 4, 1), dropout=0.0, attn_dropout=0.0,
+        drop_path_rate=0.0, max_patches=2000, use_pallas_attention=False,
+    )
+    x0 = jnp.zeros((1, 257, 64, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x0
+    )
+    wav = (np.clip(rng.standard_normal(6000), -3, 3) / 4).astype(np.float32)
+    e32 = AudioEnhancer(model, variables, {}, buckets=(64,))
+    e16 = AudioEnhancer(model, variables, {}, buckets=(64,), io_dtype="int16")
+    y32 = e32.enhance(wav)
+    y16 = e16.enhance(wav)
+    assert y16.dtype == np.float32
+    # int16 path quantizes input+output at PCM16 resolution and clips to
+    # [-1, 1] (exactly what a PCM16 WAV write does to the float path)
+    np.testing.assert_allclose(y16, np.clip(y32, -1.0, 1.0), atol=2e-3)
