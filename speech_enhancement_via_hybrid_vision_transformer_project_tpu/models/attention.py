@@ -176,7 +176,10 @@ class TransformerEncoderBlock(nn.Module):
 
 class VisionTransformer(nn.Module):
     """Stack of pre-norm blocks with linearly-increasing DropPath + final LN
-    (reference: models/attention.py:216-304)."""
+    (reference: models/attention.py:216-304). ``attention_type='linear'``
+    swaps in the O(N) EfficientAttention variant (the reference defines it
+    but never wires it up, models/attention.py:307-373 — here it is a
+    first-class option for very long spectrograms)."""
 
     embed_dim: int
     num_layers: int = 6
@@ -187,6 +190,7 @@ class VisionTransformer(nn.Module):
     attn_dropout: float = 0.0
     drop_path_rate: float = 0.0
     use_pallas: bool = True
+    attention_type: str = "standard"  # "standard" | "linear"
 
     @nn.compact
     def __call__(
@@ -196,6 +200,25 @@ class VisionTransformer(nn.Module):
         train: bool = False,
         return_all_attentions: bool = False,
     ):
+        if self.attention_type == "linear":
+            # pre-norm residual blocks around EfficientAttention + MLP
+            for i in range(self.num_layers):
+                y = nn.LayerNorm(epsilon=1e-5, name=f"lin_norm1_{i}")(x)
+                y = EfficientAttention(
+                    self.embed_dim, self.num_heads, self.qkv_bias,
+                    self.dropout, name=f"lin_attn_{i}",
+                )(y, train=train)
+                x = x + y
+                z = nn.LayerNorm(epsilon=1e-5, name=f"lin_norm2_{i}")(x)
+                z = FeedForward(
+                    self.embed_dim, int(self.embed_dim * self.mlp_ratio),
+                    self.dropout, name=f"lin_mlp_{i}",
+                )(z, train=train)
+                x = x + z
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+            if return_all_attentions:
+                return x, []
+            return x
         dpr = np.linspace(0.0, self.drop_path_rate, self.num_layers)
         attentions = []
         for i in range(self.num_layers):

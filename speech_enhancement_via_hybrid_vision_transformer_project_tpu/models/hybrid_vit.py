@@ -59,6 +59,7 @@ class HybridViT(nn.Module):
     use_cls_token: bool = False
     max_patches: int = 10000
     use_pallas_attention: bool = True
+    attention_type: str = "standard"  # "standard" | "linear" (O(N))
     compute_dtype: Any = jnp.float32  # bf16 for mixed-precision training
     bn_axis_name: Optional[str] = None
 
@@ -146,6 +147,7 @@ class HybridViT(nn.Module):
             attn_dropout=self.attn_dropout,
             drop_path_rate=self.drop_path_rate,
             use_pallas=self.use_pallas_attention,
+            attention_type=self.attention_type,
             name="transformer",
         )
         attentions = None
@@ -278,6 +280,7 @@ def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
         attn_dropout=tr.get("attention_dropout", 0.1),
         drop_path_rate=tr.get("drop_path_rate", 0.1),
         use_skip_connections=dec.get("use_skip_connections", True),
+        attention_type=tr.get("attention_type", "standard"),
     )
     kwargs.update(overrides)
     return HybridViT(**kwargs)

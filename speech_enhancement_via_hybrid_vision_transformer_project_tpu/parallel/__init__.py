@@ -4,6 +4,7 @@ from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    distribute_batch,
     initialize_distributed,
     local_batch_size,
     make_mesh,

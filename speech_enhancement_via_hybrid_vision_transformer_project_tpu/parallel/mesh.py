@@ -83,6 +83,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def distribute_batch(batch: dict, mesh: Mesh) -> dict:
+    """Turn per-host local batches into global sharded arrays (multi-host
+    input pipeline: each host loads its shard of the files via
+    ``VoiceBankDataset.shard`` and contributes its rows here). No-op on a
+    single host."""
+    if jax.process_count() == 1:
+        return batch
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     dp = mesh.shape[DATA_AXIS]
     if global_batch % dp != 0:

@@ -35,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..data.augmentation import SpecAugmentConfig
 from ..data.pipeline import featurize_batch
 from ..ops.stft import STFTConfig
-from ..parallel.mesh import DATA_AXIS, make_mesh, mesh_from_config
+from ..parallel.mesh import DATA_AXIS, distribute_batch, make_mesh, mesh_from_config
 from ..parallel.sharding import shard_variables
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger, Stopwatch
@@ -376,6 +376,7 @@ class Trainer:
                 jax.profiler.start_trace(str(self.profile_dir))
                 profiling = True
             audio_sec = float(batch["length"].sum()) / self.sample_rate
+            batch = distribute_batch(batch, self.mesh)
             self.state, metrics = self.train_step(self.state, batch, epoch_rng)
             count += 1
             step_counter += 1
@@ -400,6 +401,7 @@ class Trainer:
         totals: Dict[str, Array] = {}
         count = 0
         for batch in self.val_loader:
+            batch = distribute_batch(batch, self.mesh)
             metrics = self.eval_step(self.state, batch)
             for k, v in metrics.items():
                 totals[k] = v if k not in totals else totals[k] + v

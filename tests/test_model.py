@@ -242,3 +242,14 @@ def test_parity_vs_reference_torch(t_frames):
     y = model.apply(variables, x_nhwc, train=False)
     y_nchw = np.transpose(np.asarray(y), (0, 3, 1, 2))
     np.testing.assert_allclose(y_nchw, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_linear_attention_variant():
+    """EfficientAttention wired as a first-class option (the reference
+    defines it but never uses it, models/attention.py:307-373)."""
+    model = HybridViT(attention_type="linear", **SMALL)
+    variables, _ = _init(model)
+    x = jnp.ones((1, 257, 64, 1), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 257, 64, 1)
+    assert np.all(np.isfinite(np.asarray(y)))
