@@ -47,12 +47,30 @@ class MetricsLogger:
 
     def log_audio(self, step: int, tag: str, audio, sample_rate: int = 16000):
         """Audio sample logging — the reference config promises this but
-        never implements it (SURVEY.md §5 observability); we do."""
-        if self.tb is not None:
-            import numpy as np
+        never implements it (SURVEY.md §5 observability); we do.
 
-            self.tb.add_audio(
-                tag, np.asarray(audio).reshape(-1, 1), int(step), sample_rate
+        tensorboardX's add_audio needs soundfile (absent in this image),
+        so fall back to writing WAVs under ``<log_dir>/audio/``."""
+        import numpy as np
+
+        wrote = False
+        if self.tb is not None:
+            try:
+                self.tb.add_audio(
+                    tag, np.asarray(audio).reshape(-1, 1), int(step),
+                    sample_rate,
+                )
+                wrote = True
+            except Exception:
+                wrote = False
+        if not wrote:
+            from ..data.wavio import save_wav
+
+            safe = tag.replace("/", "_")
+            save_wav(
+                self.log_dir / "audio" / f"step{int(step):08d}_{safe}.wav",
+                np.asarray(audio, np.float32),
+                sample_rate,
             )
 
     def close(self):
