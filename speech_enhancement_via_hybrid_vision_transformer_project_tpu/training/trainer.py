@@ -52,12 +52,24 @@ class TrainState(struct.PyTreeNode):
     step: Array
 
 
+def _has_injected_lr(s) -> bool:
+    """Duck-typed match for optax's InjectHyperparamsState /
+    InjectStatefulHyperparamsState (the class name changed across optax
+    versions; both carry a ``hyperparams`` dict + ``_replace``)."""
+    hp = getattr(s, "hyperparams", None)
+    return (
+        isinstance(hp, dict)
+        and "learning_rate" in hp
+        and hasattr(s, "_replace")
+    )
+
+
 def set_learning_rate(opt_state, lr: float):
     """Functionally set the injected learning_rate anywhere in the opt
     state (handles chain tuples and optax.MultiSteps wrapping)."""
 
     def walk(s):
-        if isinstance(s, optax.InjectHyperparamsState):
+        if _has_injected_lr(s):
             hp = dict(s.hyperparams)
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             return s._replace(hyperparams=hp)
@@ -72,7 +84,7 @@ def set_learning_rate(opt_state, lr: float):
 
 def get_learning_rate(opt_state) -> float:
     def walk(s):
-        if isinstance(s, optax.InjectHyperparamsState):
+        if _has_injected_lr(s):
             return float(np.asarray(s.hyperparams["learning_rate"]))
         if isinstance(s, optax.MultiStepsState):
             return walk(s.inner_opt_state)

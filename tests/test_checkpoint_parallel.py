@@ -170,3 +170,36 @@ def test_gradient_accumulation_matches_large_batch():
         up, st = acc.update(gi, st, p)
         p = optax.apply_updates(p, up)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_big), atol=1e-6)
+
+
+def test_set_get_learning_rate_roundtrip():
+    import optax
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        chain_with_clip,
+        create_optimizer,
+        get_learning_rate,
+        set_learning_rate,
+    )
+
+    opt = chain_with_clip(create_optimizer({}), 1.0)
+    p = {"w": jnp.zeros((3, 3))}
+    st = opt.init(p)
+    st = set_learning_rate(st, 3e-4)
+    assert get_learning_rate(st) == pytest.approx(3e-4)
+    # wrapped in MultiSteps too
+    acc = optax.MultiSteps(opt, every_k_schedule=2)
+    st2 = set_learning_rate(acc.init(p), 7e-5)
+    assert get_learning_rate(st2) == pytest.approx(7e-5)
+
+
+def test_distribute_batch_single_host_passthrough():
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.parallel import (
+        distribute_batch,
+        make_mesh,
+    )
+
+    mesh = make_mesh()
+    batch = {"x": np.ones((8, 4), np.float32)}
+    out = distribute_batch(batch, mesh)
+    assert out is batch  # no-op on one process

@@ -144,6 +144,14 @@ def test_train_loss_decreases_and_resume(synth_root, tmp_path):
     assert history["train_loss"][1] < history["train_loss"][0]
     assert (tmp_path / "ckpt" / "final_model" / "state.msgpack").exists()
 
+    # the cosine schedule must actually reach the optimizer state
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        get_learning_rate,
+    )
+
+    final_lr = get_learning_rate(trainer.state.opt_state)
+    assert final_lr == pytest.approx(1e-4, rel=1e-3)  # min_lr after 2/2 epochs
+
     # metrics were logged
     logfiles = list((tmp_path / "logs").glob("**/metrics.jsonl"))
     assert logfiles and logfiles[0].read_text().strip()
