@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap-seconds", type=float, default=0.25)
     p.add_argument("--exact", action="store_true",
                    help="process at exact length (reference-parity mode)")
+    p.add_argument("--io-dtype", default="float32",
+                   choices=["float32", "int16"],
+                   help="device transfer width; int16 = PCM16-resolution "
+                        "I/O, ~2x faster over narrow links")
     return p
 
 
@@ -54,7 +58,7 @@ def main(argv=None) -> int:
         config = {}
 
     model, variables = load_model_for_inference(args.checkpoint, config)
-    enhancer = AudioEnhancer(model, variables, config)
+    enhancer = AudioEnhancer(model, variables, config, io_dtype=args.io_dtype)
     sr = enhancer.sample_rate
 
     if inp.is_dir():
