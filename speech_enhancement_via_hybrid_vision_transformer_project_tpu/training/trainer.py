@@ -384,7 +384,8 @@ class Trainer:
         for batch in self.train_loader:
             # jax.profiler trace of a few steady-state steps (SURVEY §5:
             # the reference has no profiling; TPU build adds trace hooks)
-            if self.profile_dir and epoch == 0 and count == 3:
+            if self.profile_dir and epoch == 0 and count == 1:
+                # skip batch 0 (compile); trace a few steady-state steps
                 jax.profiler.start_trace(str(self.profile_dir))
                 profiling = True
             audio_sec = float(batch["length"].sum()) / self.sample_rate
@@ -392,7 +393,7 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, batch, epoch_rng)
             count += 1
             step_counter += 1
-            if profiling and count >= 8:
+            if profiling and count >= 6:
                 jax.block_until_ready(metrics["total"])
                 jax.profiler.stop_trace()
                 profiling = False

@@ -41,15 +41,28 @@ def save_checkpoint(
     best_val_loss: float = float("inf"),
     config: Optional[Dict] = None,
     metadata: Optional[Dict] = None,
+    backend: str = "msgpack",
 ) -> Path:
-    """Save a full training checkpoint (msgpack pytree + JSON metadata).
+    """Save a full training checkpoint (pytree + JSON metadata).
 
-    Layout: ``<path>/state.msgpack`` + ``<path>/meta.json``.
+    Backends: ``msgpack`` (default; single file ``<path>/state.msgpack``)
+    or ``orbax`` (``<path>/orbax`` tree via orbax.checkpoint — the
+    multi-host/async-friendly format). Metadata always lands in
+    ``<path>/meta.json``; ``load_checkpoint`` auto-detects the backend.
     """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     host_tree = _to_host(state_tree)
-    (path / "state.msgpack").write_bytes(serialization.to_bytes(host_tree))
+    if backend == "orbax":
+        if ocp is None:  # pragma: no cover
+            raise RuntimeError("orbax not available")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((path / "orbax").absolute(), host_tree, force=True)
+        ckptr.wait_until_finished()
+    elif backend == "msgpack":
+        (path / "state.msgpack").write_bytes(serialization.to_bytes(host_tree))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     meta = {
         "epoch": int(epoch),
         "global_step": int(global_step),
@@ -66,11 +79,25 @@ def load_checkpoint(path: str | Path, target: Any) -> tuple[Any, Dict]:
     """Load a checkpoint into the structure of ``target``; returns
     (state_tree, metadata)."""
     path = Path(path)
-    blob = (path / "state.msgpack").read_bytes()
-    if target is None:
-        tree = serialization.msgpack_restore(blob)
+    if (path / "state.msgpack").exists():
+        blob = (path / "state.msgpack").read_bytes()
+        if target is None:
+            tree = serialization.msgpack_restore(blob)
+        else:
+            tree = serialization.from_bytes(target, blob)
+    elif (path / "orbax").exists():
+        if ocp is None:  # pragma: no cover
+            raise RuntimeError("orbax not available")
+        ckptr = ocp.StandardCheckpointer()
+        if target is None:
+            tree = ckptr.restore((path / "orbax").absolute())
+        else:
+            tree = ckptr.restore(
+                (path / "orbax").absolute(),
+                target=jax.tree_util.tree_map(np.asarray, target),
+            )
     else:
-        tree = serialization.from_bytes(target, blob)
+        raise FileNotFoundError(f"no checkpoint found under {path}")
     meta = {}
     mp = path / "meta.json"
     if mp.exists():

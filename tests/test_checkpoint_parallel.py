@@ -203,3 +203,17 @@ def test_distribute_batch_single_host_passthrough():
     batch = {"x": np.ones((8, 4), np.float32)}
     out = distribute_batch(batch, mesh)
     assert out is batch  # no-op on one process
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    model = HybridViT(**SMALL)
+    variables = _variables(model)
+    path = save_checkpoint(
+        tmp_path / "ock", variables, epoch=3, backend="orbax"
+    )
+    restored, meta = load_checkpoint(path, variables)
+    assert meta["epoch"] == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

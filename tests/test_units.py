@@ -300,3 +300,18 @@ def test_enhancer_int16_io_matches_float(rng):
     # int16 path quantizes input+output at PCM16 resolution and clips to
     # [-1, 1] (exactly what a PCM16 WAV write does to the float path)
     np.testing.assert_allclose(y16, np.clip(y32, -1.0, 1.0), atol=2e-3)
+
+
+def test_metrics_logger_audio_fallback(tmp_path, rng):
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.utils import (
+        MetricsLogger,
+    )
+
+    lg = MetricsLogger(tmp_path, "exp", use_tensorboard=False)
+    wav = (0.1 * rng.standard_normal(1600)).astype(np.float32)
+    lg.log_audio(3, "audio/enhanced_0", wav, 16000)
+    lg.log_scalars(3, {"loss": 0.5})
+    lg.close()
+    wavs = list((tmp_path / "exp" / "audio").glob("*.wav"))
+    assert len(wavs) == 1 and "enhanced_0" in wavs[0].name
+    assert (tmp_path / "exp" / "metrics.jsonl").read_text().strip()
