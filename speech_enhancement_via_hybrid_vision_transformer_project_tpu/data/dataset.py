@@ -265,18 +265,23 @@ class DataLoader:
         stop = threading.Event()
 
         def producer(worker_id: int):
-            for bi in range(worker_id, len(batches), self.num_workers):
-                if stop.is_set():
-                    return
-                items = [self.dataset[i] for i in batches[bi]]
-                batch = collate_waveforms(
-                    items,
-                    cfg,
-                    self.buckets,
-                    self.batch_size if self.pad_to_batch else None,
-                )
-                out_q.put((bi, batch))
-            out_q.put((None, None))
+            error = None
+            try:
+                for bi in range(worker_id, len(batches), self.num_workers):
+                    if stop.is_set():
+                        return
+                    items = [self.dataset[i] for i in batches[bi]]
+                    batch = collate_waveforms(
+                        items,
+                        cfg,
+                        self.buckets,
+                        self.batch_size if self.pad_to_batch else None,
+                    )
+                    out_q.put((bi, batch))
+            except Exception as e:  # propagate instead of hanging the consumer
+                error = e
+            finally:
+                out_q.put((None, error))
 
         threads = [
             threading.Thread(target=producer, args=(w,), daemon=True)
@@ -295,6 +300,8 @@ class DataLoader:
                     continue
                 bi, batch = out_q.get()
                 if bi is None:
+                    if batch is not None:  # a worker raised
+                        raise batch
                     done_workers += 1
                     continue
                 pending[bi] = batch

@@ -86,6 +86,21 @@ class Evaluator:
 
         per_file: Dict[str, Dict[str, float]] = {}
         audio_seconds = sum(len(w) for w in noisy_wavs) / self.sample_rate
+
+        if not exact:
+            # pre-compile the enhance core for every bucket present so the
+            # reported throughput is steady-state, not compile time
+            seen = set()
+            for j in order:
+                wl = self.enhancer._padded_len(len(noisy_wavs[j]))
+                if wl not in seen:
+                    seen.add(wl)
+                    np.asarray(
+                        self.enhancer.enhance_batch_async(
+                            [noisy_wavs[j]] * batch_size
+                        )
+                    )
+
         t0 = time.perf_counter()
         done = 0
         if exact:
@@ -134,9 +149,10 @@ class Evaluator:
                     print(f"\r[eval] {done}/{len(files)} files", end="",
                           flush=True)
                 continue
-            dev = self.enhancer.enhance_batch_async(
-                [noisy_wavs[j] for j in idx]
-            )
+            wavs = [noisy_wavs[j] for j in idx]
+            if len(wavs) < batch_size:  # pad last batch: no extra compile
+                wavs = wavs + [wavs[-1]] * (batch_size - len(wavs))
+            dev = self.enhancer.enhance_batch_async(wavs)
             pending.append((idx, dev))
             if len(pending) > 2:
                 consume(*pending.popleft())
