@@ -237,6 +237,8 @@ class Trainer:
             checkpoint_dir or ckpt_cfg.get("save_dir", "checkpoints")
         )
         self.save_every = ckpt_cfg.get("save_every_n_epochs", 5)
+        self.save_best_only = ckpt_cfg.get("save_best_only", True)
+        self.val_every = tc.get("validation", {}).get("val_every_n_epochs", 1)
         es = tc.get("early_stopping", {})
         self.early_stopping = es.get("enabled", True)
         self.patience = es.get("patience", 10)
@@ -429,7 +431,8 @@ class Trainer:
         for epoch in range(self.current_epoch, self.num_epochs):
             t0 = time.perf_counter()
             train_metrics = self.train_epoch(epoch)
-            val_metrics = self.validate()
+            run_val = (epoch + 1) % max(self.val_every, 1) == 0
+            val_metrics = self.validate() if run_val else {}
             val_loss = val_metrics.get("total", train_metrics.get("total", 0.0))
 
             # per-epoch scheduler step (plateau gets the val loss)
@@ -453,6 +456,8 @@ class Trainer:
             if improved:
                 self.best_val_loss = val_loss
                 self.epochs_no_improve = 0
+                # best-on-val is always kept (reference policy:
+                # best + every-N + final, trainer.py:314-342)
                 self.save(self.checkpoint_dir / "best_model", epoch)
             else:
                 self.epochs_no_improve += 1
