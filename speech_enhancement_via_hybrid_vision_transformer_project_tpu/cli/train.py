@@ -125,6 +125,13 @@ def main(argv=None) -> int:
     )
     mesh = mesh_from_config(config)
     print(f"mesh: {dict(mesh.shape)}")
+    dp = mesh.shape.get("data", 1)
+    bs = tc.get("batch_size", 16)
+    if bs % dp != 0:
+        raise SystemExit(
+            f"batch_size ({bs}) must be divisible by the data-parallel "
+            f"axis ({dp} devices); pass --batch-size or --data-parallel"
+        )
 
     trainer = Trainer(
         model,
