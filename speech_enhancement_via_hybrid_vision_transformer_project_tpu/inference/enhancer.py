@@ -26,7 +26,7 @@ import numpy as np
 from ..data.dataset import DEFAULT_BUCKETS, bucket_for_frames
 from ..data.wavio import load_audio, save_wav
 from ..models.hybrid_vit import create_hybrid_vit
-from ..ops.stft import STFTConfig, istft, magphase, polar, stft
+from ..ops.stft import STFTConfig, magphase, reconstruct, stft
 from ..utils.checkpoint import load_model_weights
 
 Array = jax.Array
@@ -95,8 +95,11 @@ class AudioEnhancer:
             normed = mag / mag_max
             out = model.apply(variables, normed[..., None], train=False)[..., 0]
             enhanced_mag = out * mag_max
-            re2, im2 = polar(enhanced_mag, phase)
-            y = istft(re2, im2, cfg, length=wav_len, method=method)
+            # noisy-phase reuse; polar recombination fuses into the Pallas
+            # iSTFT kernel on TPU (reference: enhancer.py:117-129)
+            y = reconstruct(
+                enhanced_mag, phase, cfg, length=wav_len, method=method
+            )
             y = y * scale
             if io16:
                 y = jnp.clip(y, -1.0, 1.0) * 32767.0
@@ -189,8 +192,9 @@ class AudioEnhancer:
         out = self.model.apply(
             self.variables, (mag / mag_max)[..., None], train=False
         )[..., 0]
-        re2, im2 = polar(out * mag_max, phase)
-        return istft(re2, im2, cfg, length=wav_len, method=self.stft_method)
+        return reconstruct(
+            out * mag_max, phase, cfg, length=wav_len, method=self.stft_method
+        )
 
     # ------------------------------------------------------------------
     def enhance_streaming(

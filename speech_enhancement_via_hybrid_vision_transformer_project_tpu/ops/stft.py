@@ -222,11 +222,13 @@ def istft(
     """Inverse STFT with synthesis-window overlap-add and window-sum
     normalization (librosa ``istft`` semantics incl. ``length`` trim;
     reference: inference/enhancer.py:122-129)."""
+    if method in ("auto", "pallas"):
+        from .pallas_stft import istft_auto
+
+        return istft_auto(re, im, cfg, length=length, method=method)
     re = jnp.swapaxes(re.astype(jnp.float32), -1, -2)  # [..., N, F]
     im = jnp.swapaxes(im.astype(jnp.float32), -1, -2)
     n_frames = re.shape[-2]
-    if method in ("auto", "pallas"):
-        method = "matmul"  # no fused iSTFT kernel; OLA is cheap in XLA
     if method == "matmul":
         a, b = _inverse_dft_mats(cfg.n_fft)
         frames = jnp.matmul(re, jnp.asarray(a, jnp.float32), precision=precision)
@@ -284,9 +286,20 @@ def reconstruct(
     length: int | None = None,
     **kw,
 ) -> Array:
-    """(magnitude, phase) -> waveform (reference: enhancer.py:117-129)."""
+    """(magnitude, phase) -> waveform (reference: enhancer.py:117-129).
+
+    With ``method='auto'|'pallas'`` on TPU the polar recombination fuses
+    into the Pallas iSTFT kernel (mag/phase are read once; the complex
+    spectrum never exists in HBM)."""
+    method = kw.pop("method", "matmul")
+    if method in ("auto", "pallas"):
+        from .pallas_stft import istft_auto
+
+        return istft_auto(
+            mag, phase, cfg, length=length, method=method, polar=True
+        )
     re, im = polar(mag, phase)
-    return istft(re, im, cfg, length=length, **kw)
+    return istft(re, im, cfg, length=length, method=method, **kw)
 
 
 def griffin_lim(

@@ -181,3 +181,59 @@ def test_pallas_stft_odd_length(rng):
     assert re_p.shape == re.shape == (CFG.num_bins, CFG.num_frames(5123))
     np.testing.assert_allclose(np.asarray(re_p), np.asarray(re), atol=2e-3)
     np.testing.assert_allclose(np.asarray(im_p), np.asarray(im), atol=2e-3)
+
+
+def test_pallas_istft_matches_matmul(rng):
+    """Fused iSTFT (iDFT + OLA + carry across frame blocks) == XLA path.
+
+    48000 samples -> 376 frames: 3 grid blocks + spill, exercising the
+    VMEM carry between blocks."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.pallas_stft import (
+        pallas_istft,
+    )
+
+    x = rng.standard_normal((2, 48000)).astype(np.float32)
+    re, im = stft(x, CFG, method="matmul")
+    ref = istft(re, im, CFG, length=48000, method="matmul")
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_istft(re, im, CFG, length=48000)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+    # and the whole round trip reconstructs the signal
+    np.testing.assert_allclose(np.asarray(y), x, atol=2e-3)
+
+
+def test_pallas_istft_polar_fusion(rng):
+    """polar=True (mag/phase in, cos/sin fused in-kernel) == polar + istft."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.pallas_stft import (
+        pallas_istft,
+    )
+
+    x = rng.standard_normal(16000).astype(np.float32)
+    re, im = stft(x, CFG, method="matmul")
+    mag, phase = magphase(re, im)
+    ref = istft(*polar(mag, phase), CFG, length=16000, method="matmul")
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_istft(mag, phase, CFG, length=16000, polar=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_istft_no_length_and_short(rng):
+    """Default-length trim semantics match; single-block input."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.pallas_stft import (
+        pallas_istft,
+    )
+
+    x = rng.standard_normal(5123).astype(np.float32)
+    re, im = stft(x, CFG, method="matmul")
+    ref = istft(re, im, CFG, method="matmul")
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_istft(re, im, CFG)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
