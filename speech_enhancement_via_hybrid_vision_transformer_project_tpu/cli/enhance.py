@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "int16"],
                    help="device transfer width; int16 = PCM16-resolution "
                         "I/O, ~2x faster over narrow links")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard enhancement batches over this many devices "
+                        "('data' mesh axis; params replicated)")
     return p
 
 
@@ -58,7 +61,14 @@ def main(argv=None) -> int:
         config = {}
 
     model, variables = load_model_for_inference(args.checkpoint, config)
-    enhancer = AudioEnhancer(model, variables, config, io_dtype=args.io_dtype)
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel)
+    enhancer = AudioEnhancer(
+        model, variables, config, io_dtype=args.io_dtype, mesh=mesh
+    )
     sr = enhancer.sample_rate
 
     if inp.is_dir():

@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact", action="store_true",
                    help="reference-exact per-file enhancement (no bucket "
                         "padding; slower — one compile per length)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard evaluation batches over this many devices "
+                        "('data' mesh axis; params replicated)")
     return p
 
 
@@ -51,7 +54,12 @@ def main(argv=None) -> int:
         config = {}
 
     model, variables = load_model_for_inference(args.checkpoint, config)
-    enhancer = AudioEnhancer(model, variables, config)
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel)
+    enhancer = AudioEnhancer(model, variables, config, mesh=mesh)
 
     data_root = Path(
         args.data_root

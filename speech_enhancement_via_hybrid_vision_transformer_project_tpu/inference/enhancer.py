@@ -44,10 +44,21 @@ class AudioEnhancer:
         stft_method: str = "auto",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         io_dtype: str = "float32",
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
         self.config = config or {}
+        # optional data-parallel inference: batch rows shard over the
+        # mesh's 'data' axis, params replicate (the reference is strictly
+        # single-GPU file-at-a-time, SURVEY §2.3; this is the TPU scaling
+        # path for batched serving/eval sweeps)
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            self._dp = int(mesh.shape[DATA_AXIS])
         audio_cfg = self.config.get("audio", {})
         self.stft_cfg = STFTConfig(
             n_fft=audio_cfg.get("n_fft", 512),
@@ -79,7 +90,6 @@ class AudioEnhancer:
 
         io16 = self.io_dtype == "int16"
 
-        @jax.jit
         def run(variables, noisy: Array) -> Array:  # [B, wav_len]
             if io16:
                 noisy = noisy.astype(jnp.float32) / 32768.0
@@ -106,6 +116,20 @@ class AudioEnhancer:
                 return y.astype(jnp.int16)
             return y
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            run = jax.jit(
+                run,
+                in_shardings=(
+                    NamedSharding(self.mesh, P()),          # params replicated
+                    NamedSharding(self.mesh, P(DATA_AXIS)),  # batch sharded
+                ),
+            )
+        else:
+            run = jax.jit(run)
         self._core_cache[wav_len] = run
         return run
 
@@ -134,11 +158,18 @@ class AudioEnhancer:
         """
         if exact:
             x = np.asarray(noisy_audio, np.float32)[None, :]
+            if self._dp > 1:  # mesh mode: tile the data axis
+                x = np.concatenate([x] + [np.zeros_like(x)] * (self._dp - 1))
             if not normalize:
                 out = self._enhance_nonorm(jnp.asarray(x), x.shape[-1])
             else:
+                if self.io_dtype == "int16":  # core expects PCM16 in/out
+                    x = (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
                 out = self._core(x.shape[-1])(self.variables, jnp.asarray(x))
-            return np.asarray(out)[0]
+            out = np.asarray(out)
+            if out.dtype == np.int16:
+                out = out.astype(np.float32) / 32767.0
+            return out[0]
         return self.enhance_batch([noisy_audio], normalize=normalize)[0]
 
     def enhance_batch_async(
@@ -149,7 +180,9 @@ class AudioEnhancer:
         (metrics, file I/O, next-batch prep) with TPU compute via JAX's
         async dispatch. ``[B, padded_len]``; trim rows to true lengths."""
         wav_len = self._padded_len(max(len(w) for w in wavs))
-        b = len(wavs)
+        # mesh mode: batch rows must tile the data axis; zero rows are
+        # dropped by callers (enhance_batch trims to len(wavs))
+        b = -(-len(wavs) // self._dp) * self._dp
         if self.io_dtype == "int16" and normalize:
             batch = np.zeros((b, wav_len), np.int16)
             for i, w in enumerate(wavs):

@@ -103,3 +103,34 @@ def test_exact_mode_matches_reference_arbitrary_length(rng):
     ours = enhancer.enhance(noisy, exact=True)
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_mesh_data_parallel_enhancement_matches_single_device(rng):
+    """Batch enhancement sharded over a 4-device 'data' mesh must equal the
+    single-device result (params replicated, batch rows sharded); batch
+    sizes that don't tile the mesh get zero-row padding."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    model = HybridViT(**SMALL, dropout=0.0, attn_dropout=0.0,
+                      drop_path_rate=0.0, use_pallas_attention=False)
+    variables, _ = _init(model)
+    wavs = [
+        (0.4 * np.sin(2 * np.pi * 220 * np.arange(n) / 16000)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        for n in (9000, 12000, 16000)  # 3 rows: not a multiple of 4
+    ]
+    single = AudioEnhancer(model, variables, {})
+    mesh = make_mesh(data_parallel=4, devices=jax.devices()[:4])
+    sharded = AudioEnhancer(model, variables, {}, mesh=mesh)
+    out_s = single.enhance_batch(wavs)
+    out_m = sharded.enhance_batch(wavs)
+    assert len(out_s) == len(out_m) == 3
+    for a, b, w in zip(out_s, out_m, wavs):
+        assert a.shape == b.shape == w.shape
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    # exact mode also pads the data axis
+    e_s = single.enhance(wavs[0], exact=True)
+    e_m = sharded.enhance(wavs[0], exact=True)
+    np.testing.assert_allclose(e_s, e_m, atol=1e-5)
