@@ -32,6 +32,14 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--device", default=None, choices=["tpu", "cpu"])
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--attention", default="auto",
+                    choices=["auto", "pallas", "xla"],
+                    help="force the attention kernel (auto = model default)")
+    ap.add_argument("--dropout", type=float, default=None,
+                    help="override dropout+attn_dropout+drop_path "
+                         "(attn_dropout>0 forces the explicit-weights path)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize transformer blocks in backward")
     args = ap.parse_args()
 
     import jax
@@ -71,11 +79,23 @@ def main() -> int:
 
     enable_compilation_cache()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    overrides = dict(compute_dtype=dtype)
+    overrides = dict(compute_dtype=dtype, remat=args.remat)
     if args.scaled:
         overrides.update(
             embed_dim=1024, num_heads=16, num_layers=12,
         )
+    if args.dropout is not None:
+        overrides.update(
+            dropout=args.dropout,
+            attn_dropout=args.dropout,
+            drop_path_rate=args.dropout,
+        )
+    if args.attention != "auto":
+        overrides.update(use_pallas_attention=args.attention == "pallas")
+        if args.attention == "pallas" and args.dropout is None:
+            # attn dropout forces the explicit-weights path; zero it so the
+            # pallas kernel is actually exercised
+            overrides.update(attn_dropout=0.0)
     model = create_hybrid_vit(**overrides)
 
     stft_cfg = STFTConfig()

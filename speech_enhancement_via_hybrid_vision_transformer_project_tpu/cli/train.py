@@ -121,7 +121,7 @@ def main(argv=None) -> int:
     model = create_hybrid_vit(
         config,
         compute_dtype=compute_dtype,
-        use_pallas_attention=tpu_cfg.get("use_pallas_attention", True),
+        use_pallas_attention=tpu_cfg.get("use_pallas_attention", False),
     )
     mesh = mesh_from_config(config)
     print(f"mesh: {dict(mesh.shape)}")

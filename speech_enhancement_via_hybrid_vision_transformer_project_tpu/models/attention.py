@@ -2,9 +2,10 @@
 
 TPU-first re-design of the reference's attention (reference:
 models/attention.py). The hot kernel — fused scaled-dot-product attention —
-routes through a Pallas TPU kernel (``ops.pallas_attention``) when it
-applies; a pure-XLA einsum path is the reference semantics and the fallback
-(XLA already fuses scale+softmax+matmul well on TPU).
+has two implementations: the default pure-XLA einsum path (reference
+semantics; measured fastest at this model's shapes, PERF.md) and a Pallas
+TPU kernel (``ops.pallas_attention``, opt-in via ``use_pallas``) for
+shapes/configs where a hand-fused kernel pays.
 
 Differences from the reference, by design:
   * bf16-friendly: softmax is always computed in fp32.
@@ -62,7 +63,7 @@ class MultiHeadSelfAttention(nn.Module):
     qkv_bias: bool = True
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -134,7 +135,7 @@ class TransformerEncoderBlock(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     drop_path: float = 0.0
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -189,8 +190,12 @@ class VisionTransformer(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     drop_path_rate: float = 0.0
-    use_pallas: bool = True
+    use_pallas: bool = False
     attention_type: str = "standard"  # "standard" | "linear"
+    # rematerialize each block's activations in backward (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(layers) less live memory —
+    # enables bigger batches / the scaled 12L/1024d config per chip
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -221,8 +226,24 @@ class VisionTransformer(nn.Module):
             return x
         dpr = np.linspace(0.0, self.drop_path_rate, self.num_layers)
         attentions = []
+        # argnum 0 is the module instance under nn.remat, so train is
+        # argnum 3 (x=1, mask=2); mask stays dynamic (None is an empty
+        # pytree). return_attention keeps its default — remat is a
+        # training-path feature, attention introspection is not.
+        block_cls = (
+            nn.remat(
+                TransformerEncoderBlock,
+                static_argnums=(3,),
+                # CSE prevention exists for pmap-era correctness; under jit
+                # it only defeats XLA optimizations (measured 2.2x step cost
+                # with the default True)
+                prevent_cse=False,
+            )
+            if self.remat and not return_all_attentions
+            else TransformerEncoderBlock
+        )
         for i in range(self.num_layers):
-            block = TransformerEncoderBlock(
+            block = block_cls(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,
@@ -237,7 +258,7 @@ class VisionTransformer(nn.Module):
                 x, w = block(x, mask=mask, train=train, return_attention=True)
                 attentions.append(w)
             else:
-                x = block(x, mask=mask, train=train)
+                x = block(x, mask, train)  # positional: remat static_argnums
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if return_all_attentions:
             return x, attentions

@@ -58,8 +58,9 @@ class HybridViT(nn.Module):
     use_skip_connections: bool = True
     use_cls_token: bool = False
     max_patches: int = 10000
-    use_pallas_attention: bool = True
+    use_pallas_attention: bool = False
     attention_type: str = "standard"  # "standard" | "linear" (O(N))
+    remat: bool = False  # rematerialize transformer blocks (memory << FLOPs)
     compute_dtype: Any = jnp.float32  # bf16 for mixed-precision training
     bn_axis_name: Optional[str] = None
 
@@ -148,6 +149,7 @@ class HybridViT(nn.Module):
             drop_path_rate=self.drop_path_rate,
             use_pallas=self.use_pallas_attention,
             attention_type=self.attention_type,
+            remat=self.remat,
             name="transformer",
         )
         attentions = None
@@ -281,6 +283,7 @@ def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
         drop_path_rate=tr.get("drop_path_rate", 0.1),
         use_skip_connections=dec.get("use_skip_connections", True),
         attention_type=tr.get("attention_type", "standard"),
+        remat=tr.get("remat", config.get("tpu", {}).get("remat", False)),
     )
     kwargs.update(overrides)
     return HybridViT(**kwargs)

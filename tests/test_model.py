@@ -253,3 +253,54 @@ def test_linear_attention_variant():
     y = model.apply(variables, x, train=False)
     assert y.shape == (1, 257, 64, 1)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_remat_matches_non_remat():
+    """remat=True (block rematerialization) must be numerically invisible:
+    same forward output and same gradients, just less live memory."""
+    import jax
+    import optax
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        create_hybrid_vit,
+    )
+
+    kw = dict(
+        encoder_channels=(4, 8, 16),
+        embed_dim=32,
+        num_heads=4,
+        num_layers=2,
+        decoder_channels=(16, 8, 4, 1),
+        dropout=0.0,
+        attn_dropout=0.0,
+        drop_path_rate=0.0,
+        max_patches=2000,
+        use_pallas_attention=False,
+    )
+    m0 = create_hybrid_vit(**kw, remat=False)
+    m1 = create_hybrid_vit(**kw, remat=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, 257, 64, 1)), jnp.float32
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    v0 = m0.init(rngs, x, train=False)
+    v1 = m1.init(rngs, x, train=False)
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_equal(v0["params"], v1["params"])
+
+    def loss(model, variables, x):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return jnp.mean(jnp.abs(out))
+        return jax.value_and_grad(f)(variables["params"])
+
+    l0, g0 = jax.jit(lambda v, x: loss(m0, v, x))(v0, x)
+    l1, g1 = jax.jit(lambda v, x: loss(m1, v, x))(v1, x)
+    assert np.isclose(float(l0), float(l1), atol=1e-6)
+    n0 = float(optax.global_norm(g0))
+    n1 = float(optax.global_norm(g1))
+    assert np.isclose(n0, n1, rtol=1e-5), (n0, n1)
