@@ -1,1 +1,1 @@
-"""CLI entry points: train / evaluate / enhance."""
+"""CLI entry points: train / evaluate / enhance / serve."""

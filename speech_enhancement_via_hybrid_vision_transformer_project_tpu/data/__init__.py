@@ -18,4 +18,9 @@ from .dataset import (  # noqa: F401
 )
 from .pipeline import FeaturizedBatch, featurize_batch, minmax_normalize  # noqa: F401
 from .preprocessing import AudioPreprocessor  # noqa: F401
-from .wavio import load_audio, save_wav  # noqa: F401
+from .wavio import (  # noqa: F401
+    load_audio,
+    read_wav_bytes,
+    save_wav,
+    wav_bytes,
+)

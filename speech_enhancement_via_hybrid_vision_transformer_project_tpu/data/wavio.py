@@ -26,7 +26,14 @@ _FMT_EXTENSIBLE = 0xFFFE
 
 def read_wav_raw(path: str | Path) -> tuple[np.ndarray, int]:
     """Parse a WAV file -> (float32 samples [n] or [n, ch], sample_rate)."""
-    data = Path(path).read_bytes()
+    return decode_wav_bytes(Path(path).read_bytes(), name=str(path))
+
+
+def decode_wav_bytes(
+    data: bytes, name: str = "<bytes>"
+) -> tuple[np.ndarray, int]:
+    """Parse in-memory WAV bytes -> (float32 [n] or [n, ch], sample_rate)."""
+    path = name
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
@@ -112,14 +119,24 @@ def load_audio(
     return np.ascontiguousarray(x, dtype=np.float32), sr
 
 
-def save_wav(
-    path: str | Path,
-    x: np.ndarray,
-    sample_rate: int = 16000,
-    subtype: str = "pcm16",
-) -> None:
-    """Write a mono/stereo float waveform to WAV
-    (reference: utils/audio_processing.py:46-64 via soundfile)."""
+def read_wav_bytes(
+    data: bytes, sample_rate: int | None = 16000, mono: bool = True
+) -> tuple[np.ndarray, int]:
+    """In-memory counterpart of ``load_audio`` (serving path): WAV bytes
+    -> (float32 mono in [-1,1], sample_rate), with optional resample."""
+    x, sr = decode_wav_bytes(data)
+    if mono and x.ndim == 2:
+        x = x.mean(axis=1)
+    if sample_rate is not None and sr != sample_rate:
+        x = _resample(x, sr, sample_rate)
+        sr = sample_rate
+    return np.ascontiguousarray(x, dtype=np.float32), sr
+
+
+def wav_bytes(
+    x: np.ndarray, sample_rate: int = 16000, subtype: str = "pcm16"
+) -> bytes:
+    """Encode a float waveform as in-memory WAV bytes (serving path)."""
     x = np.asarray(x)
     if x.ndim == 1:
         n_ch = 1
@@ -129,7 +146,7 @@ def save_wav(
         raise ValueError("expected [n] or [n, ch] audio")
     if subtype == "pcm16":
         pcm = np.clip(x, -1.0, 1.0)
-        payload = (pcm * 32767.0).astype("<i2").tobytes()
+        payload = np.round(pcm * 32767.0).astype("<i2").tobytes()
         bits, fmt = 16, _FMT_PCM
     elif subtype == "float32":
         payload = x.astype("<f4").tobytes()
@@ -143,6 +160,17 @@ def save_wav(
         "<IHHIIHH", 16, fmt, n_ch, sample_rate, byte_rate, block_align, bits
     )
     hdr += b"data" + struct.pack("<I", len(payload))
+    return hdr + payload
+
+
+def save_wav(
+    path: str | Path,
+    x: np.ndarray,
+    sample_rate: int = 16000,
+    subtype: str = "pcm16",
+) -> None:
+    """Write a mono/stereo float waveform to WAV
+    (reference: utils/audio_processing.py:46-64 via soundfile)."""
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
-    p.write_bytes(hdr + payload)
+    p.write_bytes(wav_bytes(x, sample_rate, subtype))

@@ -1,4 +1,4 @@
-"""Inference layer: batched + streaming enhancement."""
+"""Inference layer: batched + streaming enhancement + serving."""
 
 from .enhancer import (  # noqa: F401
     AudioEnhancer,
@@ -6,3 +6,4 @@ from .enhancer import (  # noqa: F401
     enhance_file,
     load_model_for_inference,
 )
+from .server import DynamicBatcher, make_server  # noqa: F401
