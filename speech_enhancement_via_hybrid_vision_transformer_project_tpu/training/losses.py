@@ -23,6 +23,20 @@ from ..ops.stft import STFTConfig, stft
 Array = jax.Array
 
 
+def log_compress(x: Array, eps: float = 1e-8) -> Array:
+    """NaN-safe log compression: ``log(|x| + eps)``.
+
+    The reference uses ``log(x + eps)`` (reference: training/losses.py:46-57),
+    which produces NaN gradients the moment the Tanh head emits a value
+    below ``-eps`` — i.e. on the first real training step with
+    ``use_log_compression: true`` (the flag is off in its shipped config,
+    so the bug is latent there). ``|x|`` is the faithful *usable* form: a
+    negative predicted "magnitude" is a phase flip at reconstruction
+    (SURVEY.md §7.3), so its magnitude is what the compression should see.
+    """
+    return jnp.log(jnp.abs(x) + eps)
+
+
 def masked_mean(err: Array, mask: Optional[Array]) -> Array:
     """Mean of err [B, F, T, C], optionally over valid frames only."""
     if mask is None:
@@ -41,8 +55,8 @@ def spectrogram_loss(
     """L1 / MSE / L1+MSE on (optionally log-compressed) spectrograms
     (reference: training/losses.py:15-85)."""
     if use_log_compression:
-        pred = jnp.log(pred + 1e-8)
-        target = jnp.log(target + 1e-8)
+        pred = log_compress(pred)
+        target = log_compress(target)
     l1 = masked_mean(jnp.abs(pred - target), frame_mask)
     mse = masked_mean((pred - target) ** 2, frame_mask)
     if loss_type == "l1":
@@ -166,8 +180,8 @@ def combined_loss(
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     if cfg.use_log_compression:
-        pred_in = jnp.log(pred + 1e-8)
-        target_in = jnp.log(target + 1e-8)
+        pred_in = log_compress(pred)
+        target_in = log_compress(target)
     else:
         pred_in, target_in = pred, target
 

@@ -315,3 +315,27 @@ def test_metrics_logger_audio_fallback(tmp_path, rng):
     wavs = list((tmp_path / "exp" / "audio").glob("*.wav"))
     assert len(wavs) == 1 and "enhanced_0" in wavs[0].name
     assert (tmp_path / "exp" / "metrics.jsonl").read_text().strip()
+
+
+def test_log_compression_nan_safe(rng):
+    """use_log_compression must survive negative (Tanh-range) predictions —
+    the reference's log(x+eps) NaNs there (reference: losses.py:46-57)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.losses import (
+        LossConfig,
+        combined_loss,
+    )
+
+    cfg = LossConfig(use_log_compression=True)
+    pred = jnp.asarray(rng.uniform(-1, 1, (2, 257, 16, 1)), jnp.float32)
+    target = jnp.asarray(rng.uniform(0, 1, (2, 257, 16, 1)), jnp.float32)
+
+    def f(p):
+        total, _ = combined_loss(p, target, cfg)
+        return total
+
+    total, grad = jax.value_and_grad(f)(pred)
+    assert np.isfinite(float(total))
+    assert np.isfinite(np.asarray(grad)).all()
