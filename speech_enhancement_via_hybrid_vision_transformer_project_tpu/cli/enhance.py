@@ -61,13 +61,11 @@ def main(argv=None) -> int:
         config = {}
 
     model, variables = load_model_for_inference(args.checkpoint, config)
-    mesh = None
-    if args.data_parallel > 1:
-        from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import mesh_for_data_parallel
 
-        mesh = make_mesh(data_parallel=args.data_parallel)
     enhancer = AudioEnhancer(
-        model, variables, config, io_dtype=args.io_dtype, mesh=mesh
+        model, variables, config, io_dtype=args.io_dtype,
+        mesh=mesh_for_data_parallel(args.data_parallel),
     )
     sr = enhancer.sample_rate
 

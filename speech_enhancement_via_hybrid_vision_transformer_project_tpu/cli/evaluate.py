@@ -54,12 +54,12 @@ def main(argv=None) -> int:
         config = {}
 
     model, variables = load_model_for_inference(args.checkpoint, config)
-    mesh = None
-    if args.data_parallel > 1:
-        from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import mesh_for_data_parallel
 
-        mesh = make_mesh(data_parallel=args.data_parallel)
-    enhancer = AudioEnhancer(model, variables, config, mesh=mesh)
+    enhancer = AudioEnhancer(
+        model, variables, config,
+        mesh=mesh_for_data_parallel(args.data_parallel),
+    )
 
     data_root = Path(
         args.data_root

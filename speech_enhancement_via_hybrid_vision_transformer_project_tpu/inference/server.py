@@ -18,8 +18,12 @@ Design notes (TPU-first):
   * stdlib-only (http.server) — no web-framework dependency to gate.
 
 Protocol:
-  POST /enhance  body = WAV bytes (PCM16/24/32 or float32)
-                 -> 200, body = enhanced WAV (PCM16, source sample rate)
+  POST /enhance  body = WAV bytes (PCM16/24/32 or float32; any sample
+                 rate — resampled to the model rate on ingest)
+                 -> 200, body = enhanced WAV (IEEE float32, model sample
+                 rate; lossless w.r.t. the pipeline output). Clips longer
+                 than the largest length bucket are enhanced via the
+                 streaming chunked-overlap-add path.
   GET  /healthz  -> 200 "ok"
   GET  /stats    -> 200 JSON {requests, audio_seconds, audio_seconds_per_s,
                               batches, mean_batch_size}
@@ -101,35 +105,69 @@ class DynamicBatcher:
                 break
         return batch
 
+    def _max_samples(self) -> int:
+        """Capacity of the largest length bucket (samples)."""
+        return (max(self.enhancer.buckets) - 1) * self.enhancer.stft_cfg.hop_length
+
+    def _process(self, batch: List[_Request]) -> None:
+        # group by length bucket so short clips don't pay a long clip's
+        # padding (one compiled program per bucket)
+        groups: dict = {}
+        for r in batch:
+            if len(r.audio) > self._max_samples():
+                groups.setdefault("stream", []).append(r)
+            else:
+                groups.setdefault(self.enhancer._padded_len(len(r.audio)), []).append(r)
+        for key, reqs in groups.items():
+            try:
+                if key == "stream":
+                    # longer than the largest bucket: chunked overlap-add
+                    # path (batched enhance would silently truncate)
+                    for r in reqs:
+                        r.result = self.enhancer.enhance_streaming(r.audio)
+                else:
+                    wavs = [r.audio for r in reqs]
+                    # pad the request count to a power of two so the set of
+                    # compiled (batch, bucket) programs is small and fixed
+                    # (a fresh XLA compile is 1-3 min on a cold TPU shape —
+                    # far longer than any request timeout)
+                    bsz = 1 << (len(wavs) - 1).bit_length()
+                    wavs += [np.zeros(16, np.float32)] * (bsz - len(wavs))
+                    outs = self.enhancer.enhance_batch(wavs)
+                    for r, out in zip(reqs, outs):
+                        r.result = out
+            except Exception as e:
+                for r in reqs:
+                    r.error = str(e)
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(reqs)
+            for r in reqs:
+                self.stats["requests"] += 1
+                self.stats["audio_seconds"] += len(r.audio) / max(
+                    r.sample_rate, 1
+                )
+                r.done.set()
+
     def _run(self) -> None:
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
-            # group by length bucket so short clips don't pay a long
-            # clip's padding (one compiled program per bucket)
-            groups: dict = {}
-            for r in batch:
-                key = self.enhancer._padded_len(len(r.audio))
-                groups.setdefault(key, []).append(r)
-            for reqs in groups.values():
-                try:
-                    outs = self.enhancer.enhance_batch(
-                        [r.audio for r in reqs]
-                    )
-                    for r, out in zip(reqs, outs):
-                        r.result = out
-                except Exception as e:  # pragma: no cover - defensive
-                    for r in reqs:
+            try:
+                self._process(batch)
+            except Exception as e:  # never let the device worker die
+                for r in batch:
+                    if not r.done.is_set():
                         r.error = str(e)
-                self.stats["batches"] += 1
-                self.stats["batched_requests"] += len(reqs)
-                for r in reqs:
-                    self.stats["requests"] += 1
-                    self.stats["audio_seconds"] += len(r.audio) / max(
-                        r.sample_rate, 1
-                    )
-                    r.done.set()
+                        r.done.set()
+        # drain: fail queued requests instead of leaving handlers blocked
+        while True:
+            try:
+                r = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            r.error = "server shutting down"
+            r.done.set()
 
     # ------------------------------------------------------------------
     def stats_snapshot(self) -> dict:

@@ -284,6 +284,9 @@ def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
         use_skip_connections=dec.get("use_skip_connections", True),
         attention_type=tr.get("attention_type", "standard"),
         remat=tr.get("remat", config.get("tpu", {}).get("remat", False)),
+        use_pallas_attention=config.get("tpu", {}).get(
+            "use_pallas_attention", False
+        ),
     )
     kwargs.update(overrides)
     return HybridViT(**kwargs)

@@ -345,6 +345,7 @@ def istft_auto(
     length: int | None = None,
     method: str = "auto",
     polar: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Array:
     """Dispatch for iSTFT method 'auto'/'pallas'.
 
@@ -357,9 +358,11 @@ def istft_auto(
     from .stft import istft as _istft, polar as _polar
 
     if method == "pallas":
+        # the kernel's in-VMEM matmuls are fixed at HIGHEST (fp32 parity)
         if cfg.n_fft % cfg.hop_length != 0:
             raise ValueError("pallas istft requires hop | n_fft")
         return pallas_istft(re, im, cfg, length=length, polar=polar)
     if polar:
         re, im = _polar(re, im)
-    return _istft(re, im, cfg, length=length, method="matmul")
+    return _istft(re, im, cfg, length=length, method="matmul",
+                  precision=precision)

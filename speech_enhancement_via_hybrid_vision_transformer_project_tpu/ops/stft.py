@@ -225,7 +225,9 @@ def istft(
     if method in ("auto", "pallas"):
         from .pallas_stft import istft_auto
 
-        return istft_auto(re, im, cfg, length=length, method=method)
+        return istft_auto(
+            re, im, cfg, length=length, method=method, precision=precision
+        )
     re = jnp.swapaxes(re.astype(jnp.float32), -1, -2)  # [..., N, F]
     im = jnp.swapaxes(im.astype(jnp.float32), -1, -2)
     n_frames = re.shape[-2]
@@ -296,7 +298,7 @@ def reconstruct(
         from .pallas_stft import istft_auto
 
         return istft_auto(
-            mag, phase, cfg, length=length, method=method, polar=True
+            mag, phase, cfg, length=length, method=method, polar=True, **kw
         )
     re, im = polar(mag, phase)
     return istft(re, im, cfg, length=length, method=method, **kw)

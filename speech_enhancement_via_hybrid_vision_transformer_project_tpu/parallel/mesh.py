@@ -65,6 +65,14 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_for_data_parallel(n: int) -> Optional[Mesh]:
+    """Pure data-parallel mesh for the inference/serving CLIs' common
+    ``--data-parallel N`` flag; ``None`` for N <= 1 (single device)."""
+    if n is None or n <= 1:
+        return None
+    return make_mesh(data_parallel=n)
+
+
 def mesh_from_config(config: dict, devices=None) -> Mesh:
     mc = config.get("mesh", {})
     return make_mesh(

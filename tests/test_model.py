@@ -304,3 +304,21 @@ def test_remat_matches_non_remat():
     n0 = float(optax.global_norm(g0))
     n1 = float(optax.global_norm(g1))
     assert np.isclose(n0, n1, rtol=1e-5), (n0, n1)
+
+
+def test_factory_maps_tpu_config_keys():
+    """create_hybrid_vit must honor tpu.use_pallas_attention and
+    model.transformer.remat from the merged config dict."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        create_hybrid_vit,
+    )
+
+    cfg = {
+        "model": {"transformer": {"remat": True}},
+        "tpu": {"use_pallas_attention": True},
+    }
+    m = create_hybrid_vit(cfg)
+    assert m.use_pallas_attention is True
+    assert m.remat is True
+    m2 = create_hybrid_vit({})
+    assert m2.use_pallas_attention is False and m2.remat is False

@@ -130,3 +130,60 @@ def test_bad_requests(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{url}/nope", timeout=30)
     assert e.value.code == 404
+
+
+def test_long_clip_routes_to_streaming(served, rng):
+    """Clips longer than the largest bucket must NOT be truncated — the
+    batcher routes them through the chunked streaming path."""
+    url, enhancer, _ = served
+    sr = 16000
+    cap = (max(enhancer.buckets) - 1) * enhancer.stft_cfg.hop_length
+    n = cap + 3 * sr  # 3 s beyond the largest bucket
+    w = (0.3 * np.sin(2 * np.pi * 180 * np.arange(n) / sr)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    r = urllib.request.urlopen(
+        urllib.request.Request(
+            f"{url}/enhance", data=wav_bytes(w, sr, subtype="float32")
+        ),
+        timeout=300,
+    )
+    y, _ = read_wav_bytes(r.read(), sr)
+    assert y.shape == w.shape
+    # the tail beyond the bucket capacity must carry signal, not zeros
+    tail = y[cap:]
+    assert np.sqrt(np.mean(tail**2)) > 1e-4
+
+
+def test_batcher_pads_to_power_of_two(served, rng):
+    """Coalesced batches pad to power-of-two sizes so the compiled
+    (batch, bucket) program set stays small and fixed."""
+    import unittest.mock as mock
+
+    url, enhancer, server = served
+    sr = 16000
+    seen = []
+    orig = enhancer.enhance_batch
+
+    def spy(wavs, *a, **kw):
+        seen.append(len(wavs))
+        return orig(wavs, *a, **kw)
+
+    with mock.patch.object(enhancer, "enhance_batch", side_effect=spy):
+        wavs = [
+            (0.2 * np.sin(2 * np.pi * 200 * np.arange(sr) / sr)
+             + 0.02 * rng.standard_normal(sr)).astype(np.float32)
+            for _ in range(3)
+        ]
+        threads = []
+        for w in wavs:
+            req = urllib.request.Request(
+                f"{url}/enhance", data=wav_bytes(w, sr, subtype="float32")
+            )
+            t = threading.Thread(
+                target=lambda rq=req: urllib.request.urlopen(rq, timeout=120).read()
+            )
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=120)
+    assert seen and all(b & (b - 1) == 0 for b in seen), seen  # powers of 2
