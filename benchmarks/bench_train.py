@@ -40,6 +40,9 @@ def main() -> int:
                          "(attn_dropout>0 forces the explicit-weights path)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize transformer blocks in backward")
+    ap.add_argument("--prng", default=None,
+                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                    help="PRNG impl for dropout/augment mask generation")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +81,12 @@ def main() -> int:
     )
 
     enable_compilation_cache()
+    if args.prng:
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.utils import (
+            set_prng_impl,
+        )
+
+        set_prng_impl(args.prng)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     overrides = dict(compute_dtype=dtype, remat=args.remat)
     if args.scaled:

@@ -110,6 +110,10 @@ def main(argv=None) -> int:
     )
 
     tpu_cfg = config.get("tpu", {})
+    if tpu_cfg.get("prng_impl"):
+        from ..utils.runtime import set_prng_impl
+
+        set_prng_impl(tpu_cfg["prng_impl"])
     import jax.numpy as jnp
 
     compute_dtype = (

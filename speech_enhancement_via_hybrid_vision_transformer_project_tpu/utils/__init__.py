@@ -23,4 +23,8 @@ from .checkpoint import (  # noqa: F401
     save_model_weights,
 )
 from .logging import MetricsLogger, Stopwatch  # noqa: F401
-from .runtime import enable_compilation_cache, jit_init  # noqa: F401
+from .runtime import (  # noqa: F401
+    enable_compilation_cache,
+    jit_init,
+    set_prng_impl,
+)

@@ -39,6 +39,21 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     return path
 
 
+def set_prng_impl(impl: str) -> None:
+    """Select JAX's default PRNG ('threefry2x32' | 'rbg' | 'unsafe_rbg').
+
+    Dropout/DropPath/SpecAugment mask generation is a measurable slice of
+    a masked training step on TPU; 'rbg' uses the hardware RNG path and is
+    substantially cheaper than the default counter-based threefry. Streams
+    differ between impls (each is deterministic given the seed), so this
+    is a per-run choice — config knob ``tpu.prng_impl``.
+    """
+    if impl in ("threefry2x32", "rbg", "unsafe_rbg"):
+        jax.config.update("jax_default_prng_impl", impl)
+    else:
+        raise ValueError(f"unknown prng impl {impl!r}")
+
+
 def jit_init(model, *example_args, train: bool = False, **example_kwargs):
     """Run ``model.init`` as one compiled program."""
     init = jax.jit(functools.partial(model.init, train=train))
