@@ -12,7 +12,6 @@ Runs on CPU hosts in the input pipeline; heavy DSP stays numpy/scipy.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable
 
 import numpy as np
 

@@ -15,7 +15,6 @@ Improvements over the reference (which enhances file-at-a-time, batch=1):
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 

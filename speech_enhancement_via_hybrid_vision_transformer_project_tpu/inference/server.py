@@ -31,7 +31,6 @@ Protocol:
 
 from __future__ import annotations
 
-import io
 import json
 import queue
 import threading

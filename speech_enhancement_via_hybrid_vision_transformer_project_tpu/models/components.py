@@ -10,7 +10,7 @@ from the ``'dropout'`` PRNG stream; ``train`` switches both (the torch
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -35,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..data.augmentation import SpecAugmentConfig
 from ..data.pipeline import featurize_batch
 from ..ops.stft import STFTConfig
-from ..parallel.mesh import DATA_AXIS, distribute_batch, make_mesh, mesh_from_config
+from ..parallel.mesh import DATA_AXIS, distribute_batch, mesh_from_config
 from ..parallel.sharding import shard_variables
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger, Stopwatch

@@ -3,7 +3,6 @@ backend with a tiny model + synthetic data (arg handling, wiring, file
 outputs — the surfaces a user touches)."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 import pytest

@@ -7,13 +7,10 @@ max-only magnitude normalize -> model -> denormalize -> recombine with
 noisy phase -> iSTFT(length) -> output denormalize (SURVEY.md §7.2-7.4).
 """
 
-import sys
 
 import numpy as np
-import pytest
 
 import jax
-import jax.numpy as jnp
 
 from speech_enhancement_via_hybrid_vision_transformer_project_tpu.inference import (
     AudioEnhancer,

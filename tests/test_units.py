@@ -31,7 +31,6 @@ from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training impor
 from speech_enhancement_via_hybrid_vision_transformer_project_tpu.utils import (
     get_config_value,
     load_all_configs,
-    merge_configs,
     set_config_value,
     validate_config,
 )
