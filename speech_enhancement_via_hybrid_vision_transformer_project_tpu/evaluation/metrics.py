@@ -2,8 +2,10 @@
 
 Rebuild of the reference metrics (reference: evaluation/metrics.py):
 SI-SDR, SNR, SegSNR and LSD from scratch in numpy; **STOI implemented
-natively** (Taal et al. 2011 — the image has no pystoi); PESQ gated behind
-the optional ``pesq`` package (ITU-T P.862 needs its reference C code).
+natively** (Taal et al. 2011 — the image has no pystoi); **PESQ implemented
+natively** too (`pesq_native.pesq_p862`, the ITU-T P.862 perceptual model in
+numpy) and used automatically whenever the optional ``pesq`` C-extension
+package is absent.
 
 Failure policy differs from the reference deliberately: unavailable
 metrics return ``nan`` and are *excluded* from aggregation instead of
@@ -218,15 +220,29 @@ def pesq_score(
     estimate: np.ndarray,
     sample_rate: int = 16000,
     mode: str = "wb",
+    allow_native: bool = True,
 ) -> float:
-    """PESQ via the ``pesq`` package if installed, else nan
-    (reference: evaluation/metrics.py:16-55 uses the same package)."""
+    """PESQ MOS-LQO. Prefers the ITU reference C code via the ``pesq``
+    package when installed (reference: evaluation/metrics.py:16-55 uses the
+    same package); otherwise falls back to the first-party numpy
+    implementation of the P.862 perceptual model (`pesq_native.pesq_p862` —
+    structurally faithful, not conformance-tested; see its module docstring).
+    Set ``allow_native=False`` to get nan instead of the native score when
+    the ITU implementation is unavailable."""
+    ref, est = _match(reference, estimate)
     try:
         from pesq import pesq as _pesq
     except ImportError:
-        warnings.warn("pesq package unavailable; PESQ reported as nan")
-        return float("nan")
-    ref, est = _match(reference, estimate)
+        if not allow_native:
+            warnings.warn("pesq package unavailable; PESQ reported as nan")
+            return float("nan")
+        from .pesq_native import pesq_p862
+
+        try:
+            return pesq_p862(ref, est, sample_rate, mode)
+        except Exception as e:
+            warnings.warn(f"native PESQ failed: {e}")
+            return float("nan")
     try:
         return float(_pesq(sample_rate, ref, est, mode))
     except Exception as e:  # pragma: no cover

@@ -1,0 +1,302 @@
+"""Native PESQ (ITU-T P.862 perceptual model) in pure numpy.
+
+The reference project evaluates with PESQ via the ``pesq`` package — a thin
+binding over the ITU reference C code (reference: evaluation/metrics.py:16-55)
+— and silently reports 0.0 when that package is missing. This image (and a
+typical TPU eval host) has no ``pesq`` wheel, so this module provides a
+first-party, dependency-free implementation of the published P.862 algorithm:
+
+    level alignment -> input filtering -> time alignment ->
+    Bark pitch-power densities -> partial frequency/gain equalization ->
+    Zwicker loudness -> masked symmetric + asymmetric disturbances ->
+    L6-over-L2 time aggregation -> raw MOS -> MOS-LQO mapping
+    (P.862.1 narrowband / P.862.2 wideband logistic maps).
+
+Fidelity statement (be honest with downstream consumers): this follows the
+P.862 signal-processing structure and its published constants, but is NOT
+bit-exact against the ITU reference implementation (whose conformance-tested
+band/threshold tables and utterance-splitting time alignment are only defined
+by the C code). Scores are deterministic, correctly ordered (less distortion
+=> higher score), near-max for identical signals, and land in the standard
+MOS-LQO range. When the ``pesq`` package IS installed,
+``metrics.pesq_score`` prefers it and this module is never consulted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-12
+
+# -- raw-MOS -> MOS-LQO logistic mappings (published) -----------------------
+# P.862.1 (narrowband):  y = 0.999 + 4.0   / (1 + exp(-1.4945 x + 4.6607))
+# P.862.2 (wideband):    y = 0.999 + 4.0   / (1 + exp(-1.3669 x + 3.8224))
+_NB_MAP = (1.4945, 4.6607)
+_WB_MAP = (1.3669, 3.8224)
+
+_TARGET_POWER = 1e7  # P.862 fixed level for the 350-3250 Hz band
+
+# Calibration gain on the per-frame disturbances. The ITU tables (Sp/Sl and
+# per-band widths) are approximated analytically above; this constant was
+# fitted so white-noise-vs-SNR anchor points land in the published wb-PESQ
+# range (30 dB -> ~3.5, 0 dB -> ~2.0) while identical signals still map to
+# the 4.64 MOS-LQO ceiling.
+_D_CAL = 4.0
+
+
+def _bark(f: np.ndarray) -> np.ndarray:
+    """Zwicker & Terhardt Hz->Bark warping."""
+    f = np.asarray(f, np.float64)
+    return 13.0 * np.arctan(7.6e-4 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _abs_thresh_power(fc: np.ndarray) -> np.ndarray:
+    """Absolute hearing threshold per band centre, as linear power on the
+    internal intensity scale (Terhardt threshold-in-quiet approximation)."""
+    f = np.maximum(np.asarray(fc, np.float64), 20.0)
+    db = (
+        3.64 * (f / 1000.0) ** -0.8
+        - 6.5 * np.exp(-0.6 * (f / 1000.0 - 3.3) ** 2)
+        + 1e-3 * (f / 1000.0) ** 4
+    )
+    db = np.clip(db, -20.0, 96.0)
+    return 10.0 ** (db / 10.0)
+
+
+class _Perceptual:
+    """Frame/band layout + constant tables for one (sample_rate, mode)."""
+
+    def __init__(self, sample_rate: int, mode: str):
+        if sample_rate not in (8000, 16000):
+            raise ValueError("PESQ is defined for 8 kHz and 16 kHz only")
+        if mode == "wb" and sample_rate == 8000:
+            raise ValueError("wideband PESQ (P.862.2) requires 16 kHz input")
+        self.sr = sample_rate
+        self.mode = mode
+        # 32 ms hann frames, 50% overlap (P.862 clause 10.2.2)
+        self.frame = 512 if sample_rate == 16000 else 256
+        self.hop = self.frame // 2
+        self.window = 0.5 * (
+            1.0 - np.cos(2.0 * np.pi * np.arange(self.frame) / self.frame)
+        )
+        freqs = np.fft.rfftfreq(self.frame, 1.0 / sample_rate)
+        # Bark bands of width 0.5 Bark (P.862 uses 42 bands at 8 kHz /
+        # 49 at 16 kHz over the same warping). Start at the first bin
+        # above DC; wideband keeps the full band up to Nyquist.
+        top_bark = _bark(np.array([sample_rate / 2.0]))[0]
+        n_bands = 49 if sample_rate == 16000 else 42
+        edges_bark = np.linspace(0.0, top_bark, n_bands + 1)
+        bin_bark = _bark(freqs)
+        self.band_of_bin = np.clip(
+            np.searchsorted(edges_bark, bin_bark, side="right") - 1,
+            0,
+            n_bands - 1,
+        )
+        self.n_bands = n_bands
+        # band centre frequencies (Hz) + band widths in Bark (all 0.5 here)
+        centre_bark = 0.5 * (edges_bark[:-1] + edges_bark[1:])
+        # invert the warping numerically on a dense grid
+        grid = np.linspace(0.0, sample_rate / 2.0, 4096)
+        self.centre_hz = np.interp(centre_bark, _bark(grid), grid)
+        self.width_bark = np.diff(edges_bark)
+        self.bins_per_band = np.maximum(
+            np.bincount(self.band_of_bin, minlength=n_bands), 1
+        )
+        self.abs_thresh = _abs_thresh_power(self.centre_hz)
+        # P.862 'Sp'-style scaling: normalize so that a full-scale calibrated
+        # sine lands on the intensity scale the loudness law expects.
+        self.power_scale = 1e4 / _TARGET_POWER
+        self.zwicker = 0.23
+        self.loud_scale = 0.5 * self.width_bark  # Sl * band width
+
+
+def _active_band_power(x: np.ndarray, sr: int) -> float:
+    """Mean power of the 350-3250 Hz band over the whole file, used for the
+    P.862 fixed-level alignment."""
+    spec = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    band = (freqs >= 350.0) & (freqs <= 3250.0)
+    # Parseval: mean power contribution of the band
+    p = (np.abs(spec[band]) ** 2).sum() / max(len(x), 1) ** 2 * 2.0
+    return float(p) + EPS
+
+
+def _level_align(x: np.ndarray, sr: int) -> np.ndarray:
+    return x * np.sqrt(_TARGET_POWER / (_active_band_power(x, sr) * 1e7) * 1e7)
+
+
+def _highpass(x: np.ndarray, sr: int, fc: float = 100.0) -> np.ndarray:
+    """2nd-order Butterworth high-pass (P.862.2 wideband input filter is a
+    flat response with a ~100 Hz low cut; narrowband IRS is approximated by
+    the same cut plus the band limit already present in 8 kHz material)."""
+    w = np.tan(np.pi * fc / sr)
+    k = 1.0 / (1.0 + np.sqrt(2.0) * w + w * w)
+    b = np.array([k, -2.0 * k, k])
+    a = np.array(
+        [1.0, 2.0 * (w * w - 1.0) * k, (1.0 - np.sqrt(2.0) * w + w * w) * k]
+    )
+    y = np.empty_like(x)
+    z1 = z2 = 0.0
+    for i in range(len(x)):  # 2 taps: direct form II transposed
+        xi = x[i]
+        yi = b[0] * xi + z1
+        z1 = b[1] * xi - a[1] * yi + z2
+        z2 = b[2] * xi - a[2] * yi
+        y[i] = yi
+    return y
+
+
+def _estimate_delay(ref: np.ndarray, deg: np.ndarray, sr: int) -> int:
+    """Global delay estimate: cross-correlation of 4 ms frame-energy
+    envelopes (P.862's crude alignment), refined around the peak."""
+    frame = sr // 250
+    n = min(len(ref), len(deg)) // frame
+    if n < 4:
+        return 0
+    re = np.log1p(
+        np.sum(ref[: n * frame].reshape(n, frame) ** 2, axis=1)
+    )
+    de = np.log1p(
+        np.sum(deg[: n * frame].reshape(n, frame) ** 2, axis=1)
+    )
+    re -= re.mean()
+    de -= de.mean()
+    corr = np.correlate(de, re, mode="full")
+    lag = int(np.argmax(corr)) - (n - 1)
+    return lag * frame
+
+
+def _frames_power(x: np.ndarray, pm: _Perceptual) -> np.ndarray:
+    n = 1 + max(0, len(x) - pm.frame) // pm.hop
+    idx = np.arange(n)[:, None] * pm.hop + np.arange(pm.frame)[None, :]
+    spec = np.fft.rfft(x[idx] * pm.window, axis=1)
+    return (spec.real**2 + spec.imag**2) * pm.power_scale
+
+
+def _pitch_power_density(power: np.ndarray, pm: _Perceptual) -> np.ndarray:
+    """Sum FFT-bin powers into Bark bands, normalized per band width."""
+    bands = np.zeros((power.shape[0], pm.n_bands))
+    np.add.at(bands.T, pm.band_of_bin, power.T)
+    return bands / pm.bins_per_band
+
+
+def _loudness(ppd: np.ndarray, pm: _Perceptual) -> np.ndarray:
+    """Zwicker loudness density per band (P.862 clause 10.2.2.6):
+    Sl * (t/0.5)^g * [(0.5 + 0.5 p/t)^g - 1] above threshold, 0 below."""
+    t = pm.abs_thresh[None, :]
+    g = pm.zwicker
+    loud = (
+        pm.loud_scale[None, :]
+        * (t / 0.5) ** g
+        * ((0.5 + 0.5 * ppd / t) ** g - 1.0)
+    )
+    return np.where(ppd > t, loud, 0.0)
+
+
+def pesq_p862(
+    reference: np.ndarray,
+    degraded: np.ndarray,
+    sample_rate: int = 16000,
+    mode: str = "wb",
+) -> float:
+    """MOS-LQO in [1.0, ~4.64] for ``degraded`` against ``reference``.
+
+    mode='wb' -> P.862.2 wideband (16 kHz); mode='nb' -> P.862.1 (8/16 kHz).
+    """
+    pm = _Perceptual(sample_rate, mode)
+    ref = np.asarray(reference, np.float64)
+    deg = np.asarray(degraded, np.float64)
+    n = min(len(ref), len(deg))
+    if n < pm.frame * 2:
+        return float("nan")
+    ref, deg = ref[:n].copy(), deg[:n].copy()
+
+    ref = _level_align(_highpass(ref, pm.sr), pm.sr)
+    deg = _level_align(_highpass(deg, pm.sr), pm.sr)
+
+    delay = _estimate_delay(ref, deg, pm.sr)
+    if delay > 0:
+        deg = deg[delay:]
+    elif delay < 0:
+        ref = ref[-delay:]
+    n = min(len(ref), len(deg))
+    if n < pm.frame * 2:
+        return float("nan")
+    ref, deg = ref[:n], deg[:n]
+
+    ref_ppd = _pitch_power_density(_frames_power(ref, pm), pm)
+    deg_ppd = _pitch_power_density(_frames_power(deg, pm), pm)
+    n_frames = min(len(ref_ppd), len(deg_ppd))
+    ref_ppd, deg_ppd = ref_ppd[:n_frames], deg_ppd[:n_frames]
+
+    # speech-active frames: total band power well above threshold floor
+    frame_pow = ref_ppd.sum(axis=1)
+    active = frame_pow > 1e4 * pm.power_scale * pm.frame * 1e-2
+    if not active.any():
+        active = np.ones(n_frames, bool)
+
+    # partial frequency-response equalization on the REFERENCE
+    avg_ref = ref_ppd[active].mean(axis=0)
+    avg_deg = deg_ppd[active].mean(axis=0)
+    band_gain = np.clip((avg_deg + 1e3) / (avg_ref + 1e3), 0.01, 100.0)
+    ref_eq = ref_ppd * band_gain[None, :]
+
+    # short-term gain equalization on the DEGRADED (first-order smoothed)
+    audible_ref = np.where(
+        ref_eq > pm.abs_thresh[None, :], ref_eq, 0.0
+    ).sum(axis=1)
+    audible_deg = np.where(
+        deg_ppd > pm.abs_thresh[None, :], deg_ppd, 0.0
+    ).sum(axis=1)
+    raw_gain = (audible_ref + 5e3 * pm.power_scale) / (
+        audible_deg + 5e3 * pm.power_scale
+    )
+    smooth = np.empty(n_frames)
+    h = 1.0
+    for i in range(n_frames):
+        h = 0.8 * h + 0.2 * raw_gain[i]
+        smooth[i] = np.clip(h, 3e-4, 5.0)
+    deg_eq = deg_ppd * smooth[:, None]
+
+    loud_ref = _loudness(ref_eq, pm)
+    loud_deg = _loudness(deg_eq, pm)
+
+    # masked symmetric disturbance (deadzone = 0.25 * min loudness)
+    d = loud_deg - loud_ref
+    m = 0.25 * np.minimum(loud_deg, loud_ref)
+    disturbance = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
+
+    # asymmetry factor: additive (not merely reshaped) noise weighs more
+    asym = ((deg_eq + 50.0 * pm.power_scale) / (ref_eq + 50.0 * pm.power_scale)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+    asym_disturbance = disturbance * asym
+
+    w = pm.width_bark[None, :]
+
+    def _frame_norm(dist: np.ndarray, p: float) -> np.ndarray:
+        return (np.sum((np.abs(dist) * w) ** p, axis=1) / w.sum()) ** (1.0 / p)
+
+    d_sym = _frame_norm(disturbance, 2.0)
+    d_asym = _frame_norm(asym_disturbance, 1.0)
+
+    # weight frames by reference loudness (quiet frames count less)
+    frame_loud = loud_ref.sum(axis=1)
+    weight = ((frame_loud + 1e2) / 1e2) ** 0.04
+    d_sym = np.minimum(_D_CAL * d_sym / weight, 45.0)
+    d_asym = np.minimum(_D_CAL * d_asym / weight, 45.0)
+
+    def _time_aggregate(dv: np.ndarray) -> float:
+        # L6 over ~320 ms split-second intervals, L2 over the utterance
+        span = max(1, 20 * (pm.sr // 16000 + 1) // 2)  # 10 frames @16k hop
+        n_int = max(1, len(dv) // span)
+        trimmed = dv[: n_int * span].reshape(n_int, span)
+        l6 = (np.mean(trimmed**6.0, axis=1)) ** (1.0 / 6.0)
+        return float(np.sqrt(np.mean(l6**2.0)))
+
+    d_total = _time_aggregate(d_sym)
+    da_total = _time_aggregate(d_asym)
+
+    raw = 4.5 - 0.1 * d_total - 0.0309 * da_total
+    a, b = _WB_MAP if mode == "wb" else _NB_MAP
+    mos_lqo = 0.999 + 4.0 / (1.0 + np.exp(-a * raw + b))
+    return float(np.clip(mos_lqo, 1.0, 5.0))

@@ -193,6 +193,46 @@ def test_compute_all_metrics_has_improvements(sine_wav):
     assert "noisy_snr" in out
 
 
+def test_native_pesq_properties(sine_wav):
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation.pesq_native import (  # noqa: E501
+        pesq_p862,
+    )
+
+    clean, _, sr = sine_wav
+    rng = np.random.default_rng(2)
+    # identity maps to the MOS-LQO ceiling
+    assert pesq_p862(clean, clean, sr, "wb") == pytest.approx(4.64, abs=0.05)
+    # monotonic in additive-noise level, in both modes
+    scores = {}
+    for mode in ("wb", "nb"):
+        vals = []
+        for sigma in (0.01, 0.1, 0.5):
+            deg = clean + sigma * rng.standard_normal(len(clean))
+            vals.append(pesq_p862(clean, deg, sr, mode))
+        assert vals[0] > vals[1] > vals[2], (mode, vals)
+        assert all(1.0 <= v <= 5.0 for v in vals)
+        scores[mode] = vals
+    # amplitude-scale invariance from level alignment
+    s1 = pesq_p862(clean, clean + 0.1 * rng.standard_normal(len(clean)), sr)
+    s2 = pesq_p862(
+        3.0 * clean, 3.0 * (clean + 0.1 * rng.standard_normal(len(clean))), sr
+    )
+    assert s1 == pytest.approx(s2, abs=0.25)
+    # global-delay robustness (crude time alignment)
+    shifted = np.concatenate([np.zeros(320, np.float32), clean])[: len(clean)]
+    assert pesq_p862(clean, shifted, sr, "wb") > 4.0
+
+
+def test_pesq_score_falls_back_to_native(sine_wav):
+    clean, noisy, sr = sine_wav
+    # image has no `pesq` wheel -> pesq_score must use the native model
+    v = M.pesq_score(clean, noisy, sr)
+    assert np.isfinite(v) and 1.0 <= v <= 5.0
+    assert np.isnan(M.pesq_score(clean, noisy, sr, allow_native=False))
+    out = M.compute_all_metrics(clean, clean, noisy, sr, include_pesq=True)
+    assert out["pesq_improvement"] > 0
+
+
 # ---------------------------------------------------------------------------
 # Augmentation + featurize
 # ---------------------------------------------------------------------------
