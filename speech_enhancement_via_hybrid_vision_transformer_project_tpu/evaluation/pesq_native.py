@@ -286,8 +286,9 @@ def pesq_p862(
     d_asym = np.minimum(_D_CAL * d_asym / weight, 45.0)
 
     def _time_aggregate(dv: np.ndarray) -> float:
-        # L6 over ~320 ms split-second intervals, L2 over the utterance
-        span = max(1, 20 * (pm.sr // 16000 + 1) // 2)  # 10 frames @16k hop
+        # L6 over 320 ms split-second intervals, L2 over the utterance.
+        # The frame hop is 16 ms at both rates (256/16k, 128/8k) -> 20 frames.
+        span = min(20, len(dv))
         n_int = max(1, len(dv) // span)
         trimmed = dv[: n_int * span].reshape(n_int, span)
         l6 = (np.mean(trimmed**6.0, axis=1)) ** (1.0 / 6.0)
