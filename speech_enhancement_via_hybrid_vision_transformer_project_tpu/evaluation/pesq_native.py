@@ -135,15 +135,20 @@ def _highpass(x: np.ndarray, sr: int, fc: float = 100.0) -> np.ndarray:
     a = np.array(
         [1.0, 2.0 * (w * w - 1.0) * k, (1.0 - np.sqrt(2.0) * w + w * w) * k]
     )
-    y = np.empty_like(x)
-    z1 = z2 = 0.0
-    for i in range(len(x)):  # 2 taps: direct form II transposed
-        xi = x[i]
-        yi = b[0] * xi + z1
-        z1 = b[1] * xi - a[1] * yi + z2
-        z2 = b[2] * xi - a[2] * yi
-        y[i] = yi
-    return y
+    try:
+        from scipy.signal import lfilter
+
+        return lfilter(b, a, x)
+    except ImportError:  # pragma: no cover — scipy is in the image
+        y = np.empty_like(x)
+        z1 = z2 = 0.0
+        for i in range(len(x)):  # 2 taps: direct form II transposed
+            xi = x[i]
+            yi = b[0] * xi + z1
+            z1 = b[1] * xi - a[1] * yi + z2
+            z2 = b[2] * xi - a[2] * yi
+            y[i] = yi
+        return y
 
 
 def _estimate_delay(ref: np.ndarray, deg: np.ndarray, sr: int) -> int:
