@@ -219,7 +219,7 @@ def pesq_score(
     reference: np.ndarray,
     estimate: np.ndarray,
     sample_rate: int = 16000,
-    mode: str = "wb",
+    mode: str = "auto",
     allow_native: bool = True,
 ) -> float:
     """PESQ MOS-LQO. Prefers the ITU reference C code via the ``pesq``
@@ -227,8 +227,12 @@ def pesq_score(
     same package); otherwise falls back to the first-party numpy
     implementation of the P.862 perceptual model (`pesq_native.pesq_p862` —
     structurally faithful, not conformance-tested; see its module docstring).
-    Set ``allow_native=False`` to get nan instead of the native score when
+    ``mode='auto'`` resolves to wideband (P.862.2) at 16 kHz and narrowband
+    (P.862.1) at 8 kHz — wideband is undefined at 8 kHz. Set
+    ``allow_native=False`` to get nan instead of the native score when
     the ITU implementation is unavailable."""
+    if mode == "auto":
+        mode = "wb" if sample_rate >= 16000 else "nb"
     ref, est = _match(reference, estimate)
     try:
         from pesq import pesq as _pesq

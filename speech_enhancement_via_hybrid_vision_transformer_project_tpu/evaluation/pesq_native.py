@@ -69,6 +69,8 @@ class _Perceptual:
     def __init__(self, sample_rate: int, mode: str):
         if sample_rate not in (8000, 16000):
             raise ValueError("PESQ is defined for 8 kHz and 16 kHz only")
+        if mode not in ("nb", "wb"):
+            raise ValueError(f"mode must be 'nb' or 'wb', got {mode!r}")
         if mode == "wb" and sample_rate == 8000:
             raise ValueError("wideband PESQ (P.862.2) requires 16 kHz input")
         self.sr = sample_rate
@@ -122,7 +124,7 @@ def _active_band_power(x: np.ndarray, sr: int) -> float:
 
 
 def _level_align(x: np.ndarray, sr: int) -> np.ndarray:
-    return x * np.sqrt(_TARGET_POWER / (_active_band_power(x, sr) * 1e7) * 1e7)
+    return x * np.sqrt(_TARGET_POWER / _active_band_power(x, sr))
 
 
 def _highpass(x: np.ndarray, sr: int, fc: float = 100.0) -> np.ndarray:
@@ -151,9 +153,15 @@ def _highpass(x: np.ndarray, sr: int, fc: float = 100.0) -> np.ndarray:
         return y
 
 
+_MAX_DELAY_S = 0.25  # P.862-style cap on the searched global delay
+
+
 def _estimate_delay(ref: np.ndarray, deg: np.ndarray, sr: int) -> int:
     """Global delay estimate: cross-correlation of 4 ms frame-energy
-    envelopes (P.862's crude alignment), refined around the peak."""
+    envelopes (P.862's crude alignment). The searched lag range is bounded
+    to +/-250 ms and the peak must clearly beat the zero-lag correlation,
+    so a spurious peak cannot silently trim a distorted region out of the
+    comparison."""
     frame = sr // 250
     n = min(len(ref), len(deg)) // frame
     if n < 4:
@@ -166,8 +174,21 @@ def _estimate_delay(ref: np.ndarray, deg: np.ndarray, sr: int) -> int:
     )
     re -= re.mean()
     de -= de.mean()
-    corr = np.correlate(de, re, mode="full")
-    lag = int(np.argmax(corr)) - (n - 1)
+    try:
+        from scipy.signal import fftconvolve
+
+        corr = fftconvolve(de, re[::-1], mode="full")
+    except ImportError:  # pragma: no cover — scipy is in the image
+        corr = np.correlate(de, re, mode="full")
+    lags = np.arange(len(corr)) - (n - 1)
+    max_lag = max(1, int(_MAX_DELAY_S * sr) // frame)
+    window = np.abs(lags) <= max_lag
+    corr_w = np.where(window, corr, -np.inf)
+    lag = int(lags[np.argmax(corr_w)])
+    zero_lag = corr[n - 1]
+    # accept only a decisive off-zero peak; ties/noise keep alignment as-is
+    if corr_w.max() <= max(zero_lag, 0.0) * 1.05:
+        return 0
     return lag * frame
 
 
@@ -256,20 +277,28 @@ def pesq_p862(
     raw_gain = (audible_ref + 5e3 * pm.power_scale) / (
         audible_deg + 5e3 * pm.power_scale
     )
-    smooth = np.empty(n_frames)
-    h = 1.0
-    for i in range(n_frames):
-        h = 0.8 * h + 0.2 * raw_gain[i]
-        smooth[i] = np.clip(h, 3e-4, 5.0)
+    # first-order smoother h_i = 0.8 h_{i-1} + 0.2 g_i, h_0 state = 1
+    try:
+        from scipy.signal import lfilter
+
+        smooth = lfilter([0.2], [1.0, -0.8], raw_gain, zi=[0.8])[0]
+    except ImportError:  # pragma: no cover — scipy is in the image
+        smooth = np.empty(n_frames)
+        h = 1.0
+        for i in range(n_frames):
+            h = 0.8 * h + 0.2 * raw_gain[i]
+            smooth[i] = h
+    smooth = np.clip(smooth, 3e-4, 5.0)
     deg_eq = deg_ppd * smooth[:, None]
 
     loud_ref = _loudness(ref_eq, pm)
     loud_deg = _loudness(deg_eq, pm)
 
-    # masked symmetric disturbance (deadzone = 0.25 * min loudness)
+    # masked symmetric disturbance magnitude (deadzone = 0.25 * min
+    # loudness); only magnitudes are aggregated downstream
     d = loud_deg - loud_ref
     m = 0.25 * np.minimum(loud_deg, loud_ref)
-    disturbance = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
+    disturbance = np.maximum(np.abs(d) - m, 0.0)
 
     # asymmetry factor: additive (not merely reshaped) noise weighs more
     asym = ((deg_eq + 50.0 * pm.power_scale) / (ref_eq + 50.0 * pm.power_scale)) ** 1.2
@@ -293,10 +322,14 @@ def pesq_p862(
     def _time_aggregate(dv: np.ndarray) -> float:
         # L6 over 320 ms split-second intervals, L2 over the utterance.
         # The frame hop is 16 ms at both rates (256/16k, 128/8k) -> 20 frames.
+        # A final interval anchored at the clip end covers the remainder, so
+        # the tail is never silently dropped (the ITU code overlaps here too).
         span = min(20, len(dv))
-        n_int = max(1, len(dv) // span)
-        trimmed = dv[: n_int * span].reshape(n_int, span)
-        l6 = (np.mean(trimmed**6.0, axis=1)) ** (1.0 / 6.0)
+        starts = list(range(0, len(dv) - span + 1, span))
+        if starts[-1] + span < len(dv):
+            starts.append(len(dv) - span)
+        ints = np.stack([dv[s : s + span] for s in starts])
+        l6 = (np.mean(ints**6.0, axis=1)) ** (1.0 / 6.0)
         return float(np.sqrt(np.mean(l6**2.0)))
 
     d_total = _time_aggregate(d_sym)
