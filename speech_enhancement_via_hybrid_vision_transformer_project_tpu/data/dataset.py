@@ -263,14 +263,24 @@ class DataLoader:
         cfg = self.dataset.stft_config
         out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
+        trunc_lock = threading.Lock()
+        trunc_count = 0
+        max_wav = (self.buckets[-1] - 1) * cfg.hop_length
 
         def producer(worker_id: int):
+            nonlocal trunc_count
             error = None
             try:
                 for bi in range(worker_id, len(batches), self.num_workers):
                     if stop.is_set():
                         return
                     items = [self.dataset[i] for i in batches[bi]]
+                    over = sum(
+                        1 for it in items if len(it["noisy_audio"]) > max_wav
+                    )
+                    if over:
+                        with trunc_lock:
+                            trunc_count += over
                     batch = collate_waveforms(
                         items,
                         cfg,
@@ -310,6 +320,15 @@ class DataLoader:
                 next_bi += 1
         finally:
             stop.set()
+            if trunc_count:
+                sr = getattr(self.dataset, "sample_rate", 16000)
+                print(
+                    f"warning: {trunc_count} utterance(s) exceeded the "
+                    f"largest bucket ({self.buckets[-1]} frames ≈ "
+                    f"{max_wav / sr:.1f}s) this epoch and were truncated "
+                    f"for training (raise data.bucketing.frame_buckets to "
+                    f"keep full length)"
+                )
 
 
 def get_data_loader(

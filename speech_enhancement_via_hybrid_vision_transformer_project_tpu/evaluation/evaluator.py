@@ -83,6 +83,14 @@ class Evaluator:
             load_audio(clean_dir / f.name, self.sample_rate)[0] for f in files
         ]
         order = np.argsort([len(w) for w in noisy_wavs])
+        # clips beyond the largest bucket go through chunked streaming —
+        # batch-path padding would zero their tails and corrupt metrics
+        cap = self.enhancer.max_samples
+        long_idx = [j for j in order if len(noisy_wavs[j]) > cap]
+        if not exact:
+            order = np.asarray(
+                [j for j in order if len(noisy_wavs[j]) <= cap], order.dtype
+            )
 
         per_file: Dict[str, Dict[str, float]] = {}
         audio_seconds = sum(len(w) for w in noisy_wavs) / self.sample_rate
@@ -158,6 +166,20 @@ class Evaluator:
                 consume(*pending.popleft())
         while pending:
             consume(*pending.popleft())
+        if not exact:
+            for j in long_idx:
+                enh = self.enhancer.enhance_streaming(noisy_wavs[j])
+                per_file[files[j].name] = self.evaluate_pair(
+                    noisy_wavs[j], clean_wavs[j], enhanced=enh
+                )
+                if output_dir is not None:
+                    save_wav(
+                        Path(output_dir) / files[j].name, enh, self.sample_rate
+                    )
+                done += 1
+                if progress:
+                    print(f"\r[eval] {done}/{len(files)} files", end="",
+                          flush=True)
         if progress:
             print()
         elapsed = time.perf_counter() - t0

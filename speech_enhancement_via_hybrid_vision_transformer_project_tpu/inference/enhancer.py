@@ -139,6 +139,14 @@ class AudioEnhancer:
         bucket = bucket_for_frames(frames, self.buckets)
         return (bucket - 1) * self.stft_cfg.hop_length
 
+    @property
+    def max_samples(self) -> int:
+        """Largest waveform length the bucketed batch path holds without
+        truncation; longer clips are routed to ``enhance_streaming``
+        (the reference enhances any length batch-1, enhancer.py:82-129 —
+        this preserves that any-length contract under static shapes)."""
+        return (self.buckets[-1] - 1) * self.stft_cfg.hop_length
+
     # ------------------------------------------------------------------
     def enhance(
         self,
@@ -155,6 +163,10 @@ class AudioEnhancer:
         (maskless by design, SURVEY.md §7.8). Costs one compile per
         distinct length; bucketed batches are the throughput path.
         """
+        if not exact and len(noisy_audio) > self.max_samples:
+            # beyond the largest bucket: chunked overlap-add keeps the
+            # full-length output correct (no silent tail truncation)
+            return self.enhance_streaming(noisy_audio)
         if exact:
             x = np.asarray(noisy_audio, np.float32)[None, :]
             if self._dp > 1:  # mesh mode: tile the data axis
@@ -177,7 +189,19 @@ class AudioEnhancer:
         """Dispatch enhancement of one padded batch and return the
         *device* result without blocking — callers overlap host work
         (metrics, file I/O, next-batch prep) with TPU compute via JAX's
-        async dispatch. ``[B, padded_len]``; trim rows to true lengths."""
+        async dispatch. ``[B, padded_len]``; trim rows to true lengths.
+
+        Every waveform must fit the largest bucket (``max_samples``);
+        route longer clips to ``enhance``/``enhance_streaming`` instead.
+        """
+        too_long = max(len(w) for w in wavs)
+        if too_long > self.max_samples:
+            raise ValueError(
+                f"waveform of {too_long} samples exceeds the largest bucket "
+                f"({self.max_samples} samples ≈ "
+                f"{self.max_samples / self.sample_rate:.2f}s); use "
+                f"enhance()/enhance_streaming() for long clips"
+            )
         wav_len = self._padded_len(max(len(w) for w in wavs))
         # mesh mode: batch rows must tile the data axis; zero rows are
         # dropped by callers (enhance_batch trims to len(wavs))
@@ -201,18 +225,24 @@ class AudioEnhancer:
     def enhance_batch(
         self, wavs: List[np.ndarray], normalize: bool = True
     ) -> List[np.ndarray]:
-        """Enhance a list of waveforms as one padded batch."""
+        """Enhance a list of waveforms as one padded batch. Clips longer
+        than the largest bucket are enhanced via chunked streaming so the
+        full-length output is real audio, not a zeroed tail."""
         if not wavs:
             return []
-        out = np.asarray(self.enhance_batch_async(wavs, normalize))
-        if out.dtype == np.int16:
-            out = out.astype(np.float32) / 32767.0
-        results = []
-        for i, w in enumerate(wavs):
-            r = out[i, : len(w)]
-            if len(r) < len(w):  # beyond the largest bucket: zero-pad tail
-                r = np.pad(r, (0, len(w) - len(r)))
-            results.append(r.copy())
+        fits = [i for i, w in enumerate(wavs) if len(w) <= self.max_samples]
+        longs = [i for i in range(len(wavs)) if i not in set(fits)]
+        results: List[Optional[np.ndarray]] = [None] * len(wavs)
+        if fits:
+            out = np.asarray(
+                self.enhance_batch_async([wavs[i] for i in fits], normalize)
+            )
+            if out.dtype == np.int16:
+                out = out.astype(np.float32) / 32767.0
+            for row, i in enumerate(fits):
+                results[i] = out[row, : len(wavs[i])].copy()
+        for i in longs:
+            results[i] = self.enhance_streaming(np.asarray(wavs[i], np.float32))
         return results
 
     def _enhance_nonorm(self, batch: Array, wav_len: int) -> Array:
@@ -244,8 +274,8 @@ class AudioEnhancer:
         linear ramp (perfect-reconstruction complementary fade).
         """
         sr = self.sample_rate
-        chunk = int(chunk_seconds * sr)
-        overlap = int(overlap_seconds * sr)
+        chunk = min(int(chunk_seconds * sr), self.max_samples)
+        overlap = min(int(overlap_seconds * sr), chunk // 2)
         hop = chunk - overlap
         x = np.asarray(noisy_audio, np.float32)
         if len(x) <= chunk:

@@ -35,7 +35,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..data.augmentation import SpecAugmentConfig
 from ..data.pipeline import featurize_batch
 from ..ops.stft import STFTConfig
-from ..parallel.mesh import DATA_AXIS, distribute_batch, mesh_from_config
+from ..parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    distribute_batch,
+    mesh_from_config,
+)
 from ..parallel.sharding import shard_variables
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger, Stopwatch
@@ -245,6 +250,15 @@ class Trainer:
         self.min_delta = es.get("min_delta", 1e-4)
 
         self.mesh = mesh if mesh is not None else mesh_from_config(config)
+        # Tensor parallelism engages automatically whenever the mesh has a
+        # non-trivial model axis (--model-parallel N / mesh.model_parallel):
+        # qkv/MLP kernels Megatron-sharded, optimizer moments included
+        # (parallel/sharding.py). mesh.use_tensor_parallel=false opts out
+        # (replicated weights, model axis idle).
+        self.use_tp = (
+            self.mesh.shape.get(MODEL_AXIS, 1) > 1
+            and config.get("mesh", {}).get("use_tensor_parallel", True)
+        )
         self.stft_cfg = STFTConfig(
             n_fft=config.get("audio", {}).get("n_fft", 512),
             hop_length=config.get("audio", {}).get("hop_length", 128),
@@ -368,9 +382,7 @@ class Trainer:
             opt_state=opt_state,
             step=jnp.asarray(0, jnp.int32),
         )
-        return jax.tree_util.tree_map(
-            lambda x: x, shard_variables(state, self.mesh)
-        )
+        return shard_variables(state, self.mesh, use_tp=self.use_tp)
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -503,6 +515,6 @@ class Trainer:
             opt_state=tree["opt_state"],
             step=jnp.asarray(tree["step"]),
         )
-        self.state = shard_variables(self.state, self.mesh)
+        self.state = shard_variables(self.state, self.mesh, use_tp=self.use_tp)
         self.current_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val_loss = float(meta.get("best_val_loss", float("inf")))

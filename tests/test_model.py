@@ -132,6 +132,7 @@ def _transplant(torch_model, variables):
 
     flat = flax.traverse_util.flatten_dict(variables, sep="/")
     out = {}
+    consumed = set()
 
     def conv_w(w):  # [O,I,kh,kw] -> [kh,kw,I,O]
         return np.transpose(w, (2, 3, 1, 0))
@@ -209,14 +210,17 @@ def _transplant(torch_model, variables):
                 name, tr = f"decoder.{i}.block.{conv_idx+1}.{leaf}", None
         assert name is not None, f"unmapped param {key}"
         assert name in sd, f"{name} not in torch state dict ({key})"
+        consumed.add(name)
         w = sd[name]
         w = tr(w) if tr else w
         assert w.shape == flat[key].shape, (key, name, w.shape, flat[key].shape)
         out[key] = jnp.asarray(w)
-    remaining = set(sd) - {  # every torch weight must have been consumed
-        n
-        for n in sd
-    }
+    # every torch weight must have been consumed (num_batches_tracked is a
+    # torch-BN step counter with no flax counterpart)
+    remaining = {
+        n for n in sd if not n.endswith("num_batches_tracked")
+    } - consumed
+    assert not remaining, f"torch weights never transplanted: {sorted(remaining)}"
     return flax.traverse_util.unflatten_dict(
         {tuple(k.split("/")): v for k, v in out.items()}
     )
