@@ -20,7 +20,8 @@ data       Host-side dataset/pairing/bucketing + on-device augmentation
 training   Losses, optax optimizers/schedules, Trainer
 parallel   Mesh construction and sharding rules (DP/TP)
 inference  Batched + streaming enhancement
-evaluation Metrics (SI-SDR/SNR/SegSNR/LSD/STOI, optional PESQ) + Evaluator
+evaluation Metrics (SI-SDR/SNR/SegSNR/LSD/STOI, PESQ via the ITU package
+           when installed, else the native P.862 model) + Evaluator
 utils      Config system, checkpointing, logging, visualization
 """
 

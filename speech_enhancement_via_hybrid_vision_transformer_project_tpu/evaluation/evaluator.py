@@ -191,6 +191,12 @@ class Evaluator:
             "wall_seconds": float(elapsed),
             "audio_seconds_per_second": float(audio_seconds / max(elapsed, 1e-9)),
         }
+        if self.include_pesq:
+            # provenance: ITU-scored and native-scored PESQ are not the
+            # same scale; downstream consumers must know which this is
+            from .metrics import pesq_implementation
+
+            summary["_meta"]["pesq_impl"] = pesq_implementation()
         return {"summary": summary, "per_file": per_file}
 
     # ------------------------------------------------------------------

@@ -20,6 +20,14 @@ by the C code). Scores are deterministic, correctly ordered (less distortion
 => higher score), near-max for identical signals, and land in the standard
 MOS-LQO range. When the ``pesq`` package IS installed,
 ``metrics.pesq_score`` prefers it and this module is never consulted.
+
+Anchor validation (tests/test_metric_golden.py): identical inputs land on
+the exact ITU MOS-LQO ceilings (4.644 wb / 4.549 nb, within 0.05), and the
+raw->MOS-LQO logistic maps reproduce the published P.862.1/.2 values.
+Full conformance testing requires the ITU test-vector corpus, which is not
+redistributable; scores from this module therefore carry a ``pesq_impl:
+'native'`` provenance marker in Evaluator output and must not be compared
+against ITU-scored results.
 """
 
 from __future__ import annotations
@@ -121,6 +129,12 @@ def _active_band_power(x: np.ndarray, sr: int) -> float:
     # Parseval: mean power contribution of the band
     p = (np.abs(spec[band]) ** 2).sum() / max(len(x), 1) ** 2 * 2.0
     return float(p) + EPS
+
+
+# Below this active-band power the signal is effectively digital silence;
+# level alignment would amplify by ~1e9 and score silence-vs-silence near
+# the MOS ceiling. Callers return nan instead (mirrors the too-short gate).
+_SILENCE_POWER_FLOOR = 1e-10
 
 
 def _level_align(x: np.ndarray, sr: int) -> np.ndarray:
@@ -237,8 +251,15 @@ def pesq_p862(
         return float("nan")
     ref, deg = ref[:n].copy(), deg[:n].copy()
 
-    ref = _level_align(_highpass(ref, pm.sr), pm.sr)
-    deg = _level_align(_highpass(deg, pm.sr), pm.sr)
+    ref = _highpass(ref, pm.sr)
+    deg = _highpass(deg, pm.sr)
+    if (
+        _active_band_power(ref, pm.sr) < _SILENCE_POWER_FLOOR
+        or _active_band_power(deg, pm.sr) < _SILENCE_POWER_FLOOR
+    ):
+        return float("nan")
+    ref = _level_align(ref, pm.sr)
+    deg = _level_align(deg, pm.sr)
 
     delay = _estimate_delay(ref, deg, pm.sr)
     if delay > 0:
@@ -336,6 +357,13 @@ def pesq_p862(
     da_total = _time_aggregate(d_asym)
 
     raw = 4.5 - 0.1 * d_total - 0.0309 * da_total
+    return mos_lqo_map(raw, mode)
+
+
+def mos_lqo_map(raw: float, mode: str = "nb") -> float:
+    """Published raw-P.862-score -> MOS-LQO logistic mapping
+    (P.862.1 narrowband / P.862.2 wideband). Value-anchored in tests:
+    raw 4.5 -> 4.5486 nb, the ITU ceiling for identical inputs."""
     a, b = _WB_MAP if mode == "wb" else _NB_MAP
     mos_lqo = 0.999 + 4.0 / (1.0 + np.exp(-a * raw + b))
     return float(np.clip(mos_lqo, 1.0, 5.0))

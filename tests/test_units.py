@@ -242,6 +242,40 @@ def test_pesq_score_falls_back_to_native(sine_wav):
     assert np.isfinite(v8) and 1.0 <= v8 <= 5.0
 
 
+def test_pesq_silence_is_nan_not_ceiling():
+    """Digital silence has no active-band energy; level alignment must not
+    blow it up to a near-ceiling score (ADVICE r1)."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation.pesq_native import (  # noqa: E501
+        pesq_p862,
+    )
+
+    z = np.zeros(16000, np.float64)
+    assert np.isnan(pesq_p862(z, z, 16000, "wb"))
+    assert np.isnan(pesq_p862(z, z + 1e-9, 16000, "wb"))
+
+
+def test_pesq_provenance(sine_wav):
+    """pesq_implementation() says which scale produced the numbers, and the
+    first native-scored call warns once (ADVICE r1)."""
+    import warnings as W
+
+    impl = M.pesq_implementation()
+    try:
+        import pesq  # noqa: F401
+
+        assert impl == "itu"
+    except ImportError:
+        assert impl == "native"
+        clean, noisy, sr = sine_wav
+        M._NATIVE_PESQ_WARNED = False
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            M.pesq_score(clean, noisy, sr)
+            M.pesq_score(clean, noisy, sr)
+        msgs = [str(r.message) for r in rec if "native P.862" in str(r.message)]
+        assert len(msgs) == 1, msgs
+
+
 # ---------------------------------------------------------------------------
 # Augmentation + featurize
 # ---------------------------------------------------------------------------
