@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-parallel", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of a few steps here")
+    # multi-host (SURVEY §5 distributed backend): every host runs this CLI
+    # with the same flags plus its own --process-id
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host training)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total number of hosts")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's index in [0, num-processes)")
     return p
 
 
@@ -49,6 +57,18 @@ def main(argv=None) -> int:
 
         jax.config.update(
             "jax_platforms", "axon" if args.device == "tpu" else args.device
+        )
+
+    multihost = bool(args.num_processes and args.num_processes > 1)
+    if multihost:
+        # must run before anything touches the backend: jax.distributed
+        # wires every host's local chips into one global device set
+        from ..parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
         )
 
     from ..data import DataLoader, VoiceBankDataset
@@ -89,25 +109,64 @@ def main(argv=None) -> int:
     if args.max_files:
         train_ds.file_pairs = train_ds.file_pairs[: args.max_files]
         val_ds.file_pairs = val_ds.file_pairs[: max(args.max_files // 4, 1)]
-    print(f"train files: {len(train_ds)}  val files: {len(val_ds)}")
 
     tc = config.get("training", {})
     bcfg = config.get("data", {}).get("bucketing", {})
     buckets = tuple(bcfg.get("frame_buckets", (128, 256, 384, 512, 768, 1024)))
+
+    # multi-host input pipeline: each host reads its stride of the global
+    # file list and feeds its local rows (trainer's distribute_batch builds
+    # the global sharded arrays). Lockstep constraints computed LOCALLY but
+    # identically on every host from the global file counts:
+    #   - per-host batch rows = global batch / num hosts
+    #   - every batch padded to ONE fixed bucket (identical program shape)
+    #   - per-host batch count = floor(min shard size / local batch)
+    fixed_bucket = None
+    train_max_batches = val_max_batches = None
+    global_bs = tc.get("batch_size", 16)
+    local_bs = global_bs
+    if multihost:
+        import jax
+
+        n_proc = jax.process_count()
+        if global_bs % n_proc != 0:
+            raise SystemExit(
+                f"batch_size ({global_bs}) must be divisible by the number "
+                f"of hosts ({n_proc})"
+            )
+        local_bs = global_bs // n_proc
+        fixed_bucket = buckets[-1]
+        train_max_batches = (len(train_ds) // n_proc) // local_bs
+        val_max_batches = (len(val_ds) // n_proc) // local_bs
+        if train_max_batches < 1:
+            raise SystemExit(
+                f"{len(train_ds)} train files cannot feed {n_proc} hosts "
+                f"at local batch {local_bs}"
+            )
+        train_ds = train_ds.shard(jax.process_index(), n_proc)
+        val_ds = val_ds.shard(jax.process_index(), n_proc)
+    print(f"train files: {len(train_ds)}  val files: {len(val_ds)}")
+
     train_loader = DataLoader(
         train_ds,
-        batch_size=tc.get("batch_size", 16),
+        batch_size=local_bs,
         num_workers=tc.get("num_workers", 4),
         seed=seed,
         buckets=buckets,
+        fixed_bucket=fixed_bucket,
+        max_batches=train_max_batches,
     )
     val_loader = DataLoader(
         val_ds,
-        batch_size=tc.get("batch_size", 16),
+        batch_size=local_bs,
         shuffle=False,
         num_workers=tc.get("num_workers", 4),
         buckets=buckets,
+        fixed_bucket=fixed_bucket,
+        max_batches=val_max_batches,
     )
+    if multihost and val_max_batches == 0:
+        val_loader = None
 
     tpu_cfg = config.get("tpu", {})
     if tpu_cfg.get("prng_impl"):

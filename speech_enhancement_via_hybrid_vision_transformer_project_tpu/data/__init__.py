@@ -23,4 +23,5 @@ from .wavio import (  # noqa: F401
     read_wav_bytes,
     save_wav,
     wav_bytes,
+    wav_info,
 )

@@ -178,6 +178,7 @@ def collate_waveforms(
     stft_config: STFTConfig = STFTConfig(),
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     batch_size: Optional[int] = None,
+    fixed_bucket: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Right-pad waveforms so every item in the batch produces the same
     bucketed frame count (zero padding — reference pads spectrograms with
@@ -185,10 +186,16 @@ def collate_waveforms(
 
     If ``batch_size`` is given the batch is additionally padded with empty
     rows to a fixed size (static shapes for jit); ``valid`` marks real rows.
+    ``fixed_bucket`` forces one frame count for every batch — required in
+    multi-host training, where all hosts must execute the identical
+    compiled step in lockstep regardless of their local clip lengths.
     """
     hop = stft_config.hop_length
-    frames = [frames_needed(len(it["noisy_audio"]), hop) for it in items]
-    bucket = bucket_for_frames(max(frames), buckets)
+    if fixed_bucket is not None:
+        bucket = fixed_bucket
+    else:
+        frames = [frames_needed(len(it["noisy_audio"]), hop) for it in items]
+        bucket = bucket_for_frames(max(frames), buckets)
     wav_len = (bucket - 1) * hop  # num_frames(wav_len) == bucket (center)
     b = batch_size or len(items)
     noisy = np.zeros((b, wav_len), np.float32)
@@ -227,7 +234,14 @@ class DataLoader:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         drop_last: bool = False,
         pad_to_batch: bool = True,
+        fixed_bucket: Optional[int] = None,
+        max_batches: Optional[int] = None,
     ):
+        """``fixed_bucket``/``max_batches`` are the multi-host lockstep
+        knobs: with a fixed frame bucket every host compiles and executes
+        the same program shape each step, and ``max_batches`` (set to the
+        smallest per-host batch count, computable locally from the global
+        file count) keeps all hosts stepping the same number of times."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -236,13 +250,19 @@ class DataLoader:
         self.buckets = tuple(buckets)
         self.drop_last = drop_last
         self.pad_to_batch = pad_to_batch
+        self.fixed_bucket = fixed_bucket
+        self.max_batches = max_batches
         self.epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            n_batches = n // self.batch_size
+        else:
+            n_batches = (n + self.batch_size - 1) // self.batch_size
+        if self.max_batches is not None:
+            n_batches = min(n_batches, self.max_batches)
+        return n_batches
 
     def _batch_indices(self) -> List[List[int]]:
         idx = np.arange(len(self.dataset))
@@ -255,6 +275,8 @@ class DataLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.max_batches is not None:
+            batches = batches[: self.max_batches]
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -265,7 +287,8 @@ class DataLoader:
         stop = threading.Event()
         trunc_lock = threading.Lock()
         trunc_count = 0
-        max_wav = (self.buckets[-1] - 1) * cfg.hop_length
+        cap_bucket = self.fixed_bucket or self.buckets[-1]
+        max_wav = (cap_bucket - 1) * cfg.hop_length
 
         def producer(worker_id: int):
             nonlocal trunc_count
@@ -286,6 +309,7 @@ class DataLoader:
                         cfg,
                         self.buckets,
                         self.batch_size if self.pad_to_batch else None,
+                        fixed_bucket=self.fixed_bucket,
                     )
                     out_q.put((bi, batch))
             except Exception as e:  # propagate instead of hanging the consumer
@@ -324,7 +348,7 @@ class DataLoader:
                 sr = getattr(self.dataset, "sample_rate", 16000)
                 print(
                     f"warning: {trunc_count} utterance(s) exceeded the "
-                    f"largest bucket ({self.buckets[-1]} frames ≈ "
+                    f"largest bucket ({cap_bucket} frames ≈ "
                     f"{max_wav / sr:.1f}s) this epoch and were truncated "
                     f"for training (raise data.bucketing.frame_buckets to "
                     f"keep full length)"

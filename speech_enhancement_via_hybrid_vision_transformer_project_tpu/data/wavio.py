@@ -83,6 +83,40 @@ def decode_wav_bytes(
     return x, sr
 
 
+def wav_info(path: str | Path) -> tuple[int, int, int]:
+    """Header-only probe -> (n_samples_per_channel, sample_rate, channels).
+    Seeks over chunk payloads, so probing a directory of files costs a few
+    hundred bytes of IO each — used to length-sort large sweeps without
+    loading any audio (bounded-memory ``enhance_directory``)."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            (size,) = struct.unpack_from("<I", hdr, 4)
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", f.read(min(size, 16)), 0)
+                f.seek(max(size - 16, 0) + (size & 1), 1)
+            else:
+                if cid == b"data":
+                    data_size = size
+                f.seek(size + (size & 1), 1)
+            if fmt is not None and data_size is not None:
+                break
+    if fmt is None or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    _, n_ch, sr, _, block_align, bits = fmt
+    bytes_per_frame = block_align or max(1, n_ch * (bits // 8))
+    return data_size // bytes_per_frame, sr, n_ch
+
+
 def _native():
     try:
         from .. import native

@@ -44,7 +44,20 @@ class AudioEnhancer:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         io_dtype: str = "float32",
         mesh=None,
+        mask_padding: bool = False,
     ):
+        """``mask_padding=True`` excludes bucket-padding patches from
+        attention via the model's key-padding mask (the normalization
+        statistics are already pad-invariant — padding is zeros). It does
+        NOT make bucketed output equal exact-mode output: the learned 1-D
+        positional table is indexed row-major over the (F, T) patch grid,
+        so the bucket's time width reassigns every token's position
+        relative to exact mode, and the final bilinear resize ratio also
+        depends on the padded width — both structural to the reference
+        architecture. Since *training* itself runs on bucketed widths,
+        masked-bucketed inference is self-consistent with training;
+        measured metric deltas vs exact mode are documented in PERF.md.
+        """
         self.model = model
         self.variables = variables
         self.config = config or {}
@@ -76,7 +89,35 @@ class AudioEnhancer:
         if io_dtype not in ("float32", "int16"):
             raise ValueError(f"io_dtype must be float32|int16, got {io_dtype}")
         self.io_dtype = io_dtype
+        self.mask_padding = bool(mask_padding)
         self._core_cache: dict = {}
+
+    def _patch_mask(self, mag_shape, lengths: Array) -> Array:
+        """[B, N] patch-validity mask from per-row true sample lengths.
+
+        Mirrors the model's spatial math: each encoder pool floors F and T
+        by its pool size, then PatchEmbedding tiles (patch_size x
+        patch_size); a patch column is valid iff it overlaps at least one
+        real (non-padding) STFT frame."""
+        f_dim, t_dim = int(mag_shape[-2]), int(mag_shape[-1])
+        pools = getattr(self.model, "encoder_pool_sizes", (2, 2, 1))
+        patch = getattr(self.model, "patch_size", 4)
+        down_t = patch
+        for p in pools:
+            if p and p > 1:
+                f_dim //= p
+                t_dim //= p
+                down_t *= p
+        h, w = f_dim // patch, t_dim // patch
+        hop = self.stft_cfg.hop_length
+        frames_valid = 1 + jnp.ceil(
+            jnp.maximum(lengths, 1).astype(jnp.float32) / hop
+        ).astype(jnp.int32)
+        col_start = jnp.arange(w, dtype=jnp.int32) * down_t  # first frame
+        col_valid = col_start[None, :] < frames_valid[:, None]  # [B, w]
+        return jnp.broadcast_to(
+            col_valid[:, None, :], (col_valid.shape[0], h, w)
+        ).reshape(col_valid.shape[0], h * w)
 
     # ------------------------------------------------------------------
     def _core(self, wav_len: int):
@@ -88,8 +129,10 @@ class AudioEnhancer:
         model = self.model
 
         io16 = self.io_dtype == "int16"
+        masked = self.mask_padding
 
-        def run(variables, noisy: Array) -> Array:  # [B, wav_len]
+        def run(variables, noisy: Array, lengths: Array) -> Array:
+            # noisy: [B, wav_len]; lengths: [B] true sample counts
             if io16:
                 noisy = noisy.astype(jnp.float32) / 32768.0
             # peak normalize (reference: enhancer.py:71-79)
@@ -98,11 +141,15 @@ class AudioEnhancer:
             x = noisy / scale
             re, im = stft(x, cfg, method=method)
             mag, phase = magphase(re, im)
-            # max-only magnitude normalize (reference: enhancer.py:96-101)
+            # max-only magnitude normalize (reference: enhancer.py:96-101;
+            # pad-invariant: padding is zeros, so the max never sees it)
             mag_max = jnp.max(mag, axis=(-2, -1), keepdims=True)
             mag_max = jnp.where(mag_max > 1e-8, mag_max, 1.0)
             normed = mag / mag_max
-            out = model.apply(variables, normed[..., None], train=False)[..., 0]
+            mask = self._patch_mask(mag.shape, lengths) if masked else None
+            out = model.apply(
+                variables, normed[..., None], mask=mask, train=False
+            )[..., 0]
             enhanced_mag = out * mag_max
             # noisy-phase reuse; polar recombination fuses into the Pallas
             # iSTFT kernel on TPU (reference: enhancer.py:117-129)
@@ -125,6 +172,7 @@ class AudioEnhancer:
                 in_shardings=(
                     NamedSharding(self.mesh, P()),          # params replicated
                     NamedSharding(self.mesh, P(DATA_AXIS)),  # batch sharded
+                    NamedSharding(self.mesh, P(DATA_AXIS)),  # lengths
                 ),
             )
         else:
@@ -176,7 +224,10 @@ class AudioEnhancer:
             else:
                 if self.io_dtype == "int16":  # core expects PCM16 in/out
                     x = (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
-                out = self._core(x.shape[-1])(self.variables, jnp.asarray(x))
+                lens = np.full((x.shape[0],), x.shape[-1], np.int32)
+                out = self._core(x.shape[-1])(
+                    self.variables, jnp.asarray(x), jnp.asarray(lens)
+                )
             out = np.asarray(out)
             if out.dtype == np.int16:
                 out = out.astype(np.float32) / 32767.0
@@ -206,6 +257,10 @@ class AudioEnhancer:
         # mesh mode: batch rows must tile the data axis; zero rows are
         # dropped by callers (enhance_batch trims to len(wavs))
         b = -(-len(wavs) // self._dp) * self._dp
+        lens = np.full((b,), 1, np.int32)
+        for i, w in enumerate(wavs):
+            lens[i] = min(len(w), wav_len)
+        lens_j = jnp.asarray(lens)
         if self.io_dtype == "int16" and normalize:
             batch = np.zeros((b, wav_len), np.int16)
             for i, w in enumerate(wavs):
@@ -213,14 +268,14 @@ class AudioEnhancer:
                 batch[i, :n] = (
                     np.clip(np.asarray(w[:n], np.float32), -1.0, 1.0) * 32767.0
                 ).astype(np.int16)
-            return self._core(wav_len)(self.variables, jnp.asarray(batch))
+            return self._core(wav_len)(self.variables, jnp.asarray(batch), lens_j)
         batch = np.zeros((b, wav_len), np.float32)
         for i, w in enumerate(wavs):
             n = min(len(w), wav_len)
             batch[i, :n] = np.asarray(w[:n], np.float32)
         if not normalize:
             return self._enhance_nonorm(jnp.asarray(batch), wav_len)
-        return self._core(wav_len)(self.variables, jnp.asarray(batch))
+        return self._core(wav_len)(self.variables, jnp.asarray(batch), lens_j)
 
     def enhance_batch(
         self, wavs: List[np.ndarray], normalize: bool = True
@@ -318,19 +373,33 @@ class AudioEnhancer:
         output_dir: str | Path,
         pattern: str = "*.wav",
         batch_size: int = 8,
+        window_batches: int = 4,
     ) -> int:
         """Batched directory sweep (reference: enhancer.py:164-194 loops
-        file-at-a-time; we group files into padded batches)."""
+        file-at-a-time; we group files into padded batches).
+
+        Memory is bounded: files are length-sorted from WAV *headers* only
+        (``wav_info``), then loaded/enhanced/written in windows of
+        ``window_batches * batch_size`` files — a million-file sweep holds
+        at most one window of audio on the host at a time."""
         input_dir, output_dir = Path(input_dir), Path(output_dir)
         files = sorted(input_dir.glob(pattern))
-        # length-sort so batches share buckets (fewer compiles, less padding)
-        loaded = [load_audio(f, self.sample_rate)[0] for f in files]
-        order = np.argsort([len(w) for w in loaded])
-        for i in range(0, len(order), batch_size):
-            idx = order[i : i + batch_size]
-            outs = self.enhance_batch([loaded[j] for j in idx])
-            for j, out in zip(idx, outs):
-                save_wav(output_dir / files[j].name, out, self.sample_rate)
+        # length-sort so batches share buckets (fewer compiles, less
+        # padding) — from headers, without decoding any audio
+        from ..data.wavio import wav_info
+
+        lengths = [wav_info(f)[0] for f in files]
+        order = np.argsort(lengths, kind="stable")
+        window = max(1, window_batches) * batch_size
+        for w0 in range(0, len(order), window):
+            idx = order[w0 : w0 + window]
+            loaded = {j: load_audio(files[j], self.sample_rate)[0] for j in idx}
+            for i in range(0, len(idx), batch_size):
+                chunk = idx[i : i + batch_size]
+                outs = self.enhance_batch([loaded[j] for j in chunk])
+                for j, out in zip(chunk, outs):
+                    save_wav(output_dir / files[j].name, out, self.sample_rate)
+            loaded.clear()
         return len(files)
 
 

@@ -490,6 +490,20 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+        if jax.process_count() > 1:
+            # multi-host: TP-sharded leaves are not host-addressable —
+            # gather to replicated (every host participates in the
+            # collective), then only host 0 touches the filesystem
+            rep = NamedSharding(self.mesh, P())
+            tree = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep)
+                if isinstance(x, jax.Array) and not x.is_fully_addressable
+                else x,
+                tree,
+            )
+            jax.block_until_ready(tree)
+            if jax.process_index() != 0:
+                return Path(path)
         return save_checkpoint(
             path,
             tree,

@@ -111,6 +111,44 @@ def test_evaluator_handles_long_clips(enhancer, tmp_path):
     assert np.abs(enh_long[-SR // 2 :]).max() > 1e-4
 
 
+def test_wav_info_header_probe(tmp_path):
+    """wav_info reads lengths from headers only (int16 and float32 WAVs)."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data import (
+        load_audio,
+        wav_info,
+    )
+
+    wav = _tone(1.3, seed=5)
+    p = tmp_path / "a.wav"
+    save_wav(p, wav, SR)
+    n, sr, ch = wav_info(p)
+    assert (n, sr, ch) == (len(wav), SR, 1)
+    assert n == len(load_audio(p, SR)[0])
+
+
+def test_enhance_directory_windowed(enhancer, tmp_path):
+    """Directory sweep streams in bounded windows (header-length sorted)
+    and still writes every file, including long ones, at full length."""
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    lengths = {}
+    for i, sec in enumerate((0.3, 1.7, 0.5, 2.1, 0.4, 0.6, 0.9)):
+        wav = _tone(sec, f0=150 + 20 * i, seed=i)
+        save_wav(in_dir / f"f{i}.wav", wav, SR)
+        lengths[f"f{i}.wav"] = len(wav)
+    n = enhancer.enhance_directory(
+        in_dir, out_dir, batch_size=2, window_batches=1
+    )
+    assert n == 7
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data import (
+        load_audio,
+    )
+
+    for name, ln in lengths.items():
+        out, _ = load_audio(out_dir / name, SR)
+        assert len(out) == ln, name
+        assert np.abs(out[-SR // 10 :]).max() > 1e-4, name
+
+
 def test_loader_warns_on_truncation(tmp_path, capsys):
     root = tmp_path / "vb"
     for i, sec in enumerate((0.4, 1.8)):  # second clip exceeds the cap
