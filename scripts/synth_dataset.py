@@ -32,30 +32,48 @@ SR = 16000
 
 
 def speechlike(seconds: float, rng: np.random.Generator) -> np.ndarray:
-    """Harmonic series with pitch wobble, syllabic AM and a moving
-    single-pole 'formant' emphasis — spectrally structured like voiced
-    speech, so magnitude-domain denoising is a meaningful task."""
+    """Formant-synthesized speech-like signal: mixed pulse-train/noise
+    excitation through a cascade of 2nd-order formant resonators, with
+    pitch wobble, syllabic AM and spectral tilt.
+
+    Broadband formant structure (bandwidths of hundreds of Hz spanning
+    many STFT bins) is essential here: the HybridViT decoder's final
+    bilinear resize upsamples frequency 64->257 bins (reference:
+    models/hybrid_vit.py:459-465), so spectra made of isolated harmonic
+    lines are unrecoverable through the architecture — measured oracle
+    (true clean magnitude through the same 64-row blur) LOSES SI-SDR on
+    narrow-line signals but gains +6.6 dB mean on these."""
+    from scipy.signal import lfilter
+
     n = int(SR * seconds)
     t = np.arange(n) / SR
-    f0 = rng.uniform(100, 240) + rng.uniform(20, 50) * np.sin(
-        2 * np.pi * rng.uniform(1.0, 3.0) * t + rng.uniform(0, 6)
+    f0 = rng.uniform(90, 220) * (
+        1 + 0.06 * np.sin(2 * np.pi * rng.uniform(1.0, 3.0) * t)
     )
     phase = 2 * np.pi * np.cumsum(f0) / SR
-    x = np.zeros(n)
-    for h in range(1, 10):
-        x += rng.uniform(0.3, 1.0) / h * np.sin(h * phase)
-    # syllabic envelope (2-5 Hz) with pauses
-    env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(2.0, 5.0) * t + rng.uniform(0, 6)))
+    pulses = (np.diff(np.floor(phase / (2 * np.pi)), prepend=0) > 0).astype(
+        np.float64
+    )
+    noise_frac = 0.6  # noise-dominant excitation keeps spectra smooth
+    vmix = (1 - noise_frac) * 0.5 * (
+        1 + np.sin(2 * np.pi * rng.uniform(0.8, 2.0) * t + rng.uniform(0, 6))
+    )
+    exc = pulses * vmix + noise_frac * 0.3 * rng.standard_normal(n)
+    y = exc
+    for fc, bw in (
+        (rng.uniform(300, 800), 240.0),
+        (rng.uniform(900, 2200), 360.0),
+        (rng.uniform(2300, 3400), 520.0),
+    ):
+        r = np.exp(-np.pi * bw / SR)
+        th = 2 * np.pi * fc / SR
+        y = lfilter([1 - r], [1, -2 * r * np.cos(th), r * r], y)
+    y = lfilter([1], [1, -0.9], y)  # -6 dB/oct spectral tilt
+    env = 0.5 * (
+        1 + np.sin(2 * np.pi * rng.uniform(2.0, 5.0) * t + rng.uniform(0, 6))
+    )
     env = env ** rng.uniform(1.0, 2.0)
-    x *= env
-    # moving resonance: time-varying one-pole low-pass brightness
-    a = 0.6 + 0.35 * np.sin(2 * np.pi * rng.uniform(0.2, 0.7) * t)
-    y = np.empty_like(x)
-    acc = 0.0
-    b = 1.0 - a
-    for i in range(n):  # cheap scalar filter; dataset gen is offline
-        acc = a[i] * acc + b[i] * x[i]
-        y[i] = acc
+    y *= env
     y = y / (np.abs(y).max() + 1e-9) * rng.uniform(0.4, 0.8)
     return y.astype(np.float32)
 
@@ -85,7 +103,7 @@ def main() -> int:
     ap.add_argument("--test", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--snr-low", type=float, default=0.0)
-    ap.add_argument("--snr-high", type=float, default=15.0)
+    ap.add_argument("--snr-high", type=float, default=10.0)
     ap.add_argument("--min-seconds", type=float, default=1.0)
     ap.add_argument("--max-seconds", type=float, default=3.0)
     args = ap.parse_args()

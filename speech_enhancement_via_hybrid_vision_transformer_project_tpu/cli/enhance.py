@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard enhancement batches over this many devices "
                         "('data' mesh axis; params replicated)")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="exclude bucket-padding patches from attention via "
+                        "the model's key-padding mask (bucketed mode only)")
     return p
 
 
@@ -66,6 +69,7 @@ def main(argv=None) -> int:
     enhancer = AudioEnhancer(
         model, variables, config, io_dtype=args.io_dtype,
         mesh=mesh_for_data_parallel(args.data_parallel),
+        mask_padding=args.mask_padding,
     )
     sr = enhancer.sample_rate
 

@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard evaluation batches over this many devices "
                         "('data' mesh axis; params replicated)")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="exclude bucket-padding patches from attention via "
+                        "the model's key-padding mask (bucketed mode only)")
     return p
 
 
@@ -59,6 +62,7 @@ def main(argv=None) -> int:
     enhancer = AudioEnhancer(
         model, variables, config,
         mesh=mesh_for_data_parallel(args.data_parallel),
+        mask_padding=args.mask_padding,
     )
 
     data_root = Path(

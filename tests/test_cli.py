@@ -158,3 +158,31 @@ def test_evaluate_cli(cli_env, tmp_path):
     assert rc == 0
     results = json.loads(out.read_text())
     assert results["si_sdr"]["count"] == 4
+
+
+def test_enhance_cli_mask_padding(cli_env, tmp_path):
+    """--mask-padding runs the masked bucketed path end-to-end and, on a
+    clip shorter than its bucket, produces output that differs from the
+    unmasked run (padding patches removed from attention)."""
+    tmp, data, cfg_dir = cli_env
+    inp = next((data / "noisy_testset_wav").glob("*.wav"))
+    out_plain = tmp_path / "plain.wav"
+    out_masked = tmp_path / "masked.wav"
+    for out, extra in ((out_plain, []), (out_masked, ["--mask-padding"])):
+        rc = enhance_cli.main([
+            "--checkpoint", str(tmp / "weights"),
+            "--config-dir", str(cfg_dir),
+            "--device", "cpu",
+            "--input", str(inp),
+            "--output", str(out),
+        ] + extra)
+        assert rc == 0 and out.exists()
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data import (
+        load_audio,
+    )
+
+    plain, _ = load_audio(out_plain, SR)
+    masked, _ = load_audio(out_masked, SR)
+    assert plain.shape == masked.shape
+    assert np.isfinite(masked).all()
+    assert np.abs(plain - masked).max() > 0  # 0.45 s clip in a 64-frame bucket
