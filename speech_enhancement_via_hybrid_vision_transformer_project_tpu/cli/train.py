@@ -168,11 +168,19 @@ def main(argv=None) -> int:
     if multihost and val_max_batches == 0:
         val_loader = None
 
+    import jax
+
     tpu_cfg = config.get("tpu", {})
-    if tpu_cfg.get("prng_impl"):
+    prng_impl = tpu_cfg.get("prng_impl")
+    if prng_impl is None and jax.default_backend() != "cpu":
+        # hardware RNG for dropout/augment masks: measured ~8% faster
+        # scaled-config train step than threefry on v5e (PERF.md #12);
+        # set tpu.prng_impl: threefry2x32 to opt out
+        prng_impl = "rbg"
+    if prng_impl:
         from ..utils.runtime import set_prng_impl
 
-        set_prng_impl(tpu_cfg["prng_impl"])
+        set_prng_impl(prng_impl)
     import jax.numpy as jnp
 
     compute_dtype = (
