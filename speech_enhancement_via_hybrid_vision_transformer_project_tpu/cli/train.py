@@ -171,12 +171,9 @@ def main(argv=None) -> int:
     import jax
 
     tpu_cfg = config.get("tpu", {})
-    prng_impl = tpu_cfg.get("prng_impl")
-    if prng_impl is None and jax.default_backend() != "cpu":
-        # hardware RNG for dropout/augment masks: measured ~8% faster
-        # scaled-config train step than threefry on v5e (PERF.md #12);
-        # set tpu.prng_impl: threefry2x32 to opt out
-        prng_impl = "rbg"
+    prng_impl = resolve_prng_impl(
+        tpu_cfg.get("prng_impl"), jax.default_backend()
+    )
     if prng_impl:
         from ..utils.runtime import set_prng_impl
 
