@@ -35,6 +35,10 @@ def main() -> int:
     ap.add_argument("--full-size", action="store_true",
                     help="use the default 28M model instead of the small "
                          "test config (slower)")
+    ap.add_argument("--pos-embed", default="learned_1d",
+                    choices=["learned_1d", "factored_2d"],
+                    help="positional-embedding variant (factored_2d makes "
+                         "valid-patch embeddings bucket-width invariant)")
     args = ap.parse_args()
 
     import jax
@@ -52,10 +56,11 @@ def main() -> int:
 
     rng = np.random.default_rng(args.seed)
     if args.full_size:
-        model = HybridViT()
+        model = HybridViT(pos_embed_type=args.pos_embed)
     else:
         model = HybridViT(embed_dim=96, num_layers=2, num_heads=4,
-                          encoder_channels=(16, 32, 96))
+                          encoder_channels=(16, 32, 96),
+                          pos_embed_type=args.pos_embed)
     import jax.numpy as jnp
 
     variables = model.init(

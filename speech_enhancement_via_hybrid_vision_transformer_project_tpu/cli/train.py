@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-parallel", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="exclude bucket-padding patches from attention "
+                        "during train/eval steps (reference default lets "
+                        "them attend; pair with model.transformer."
+                        "pos_embed: factored_2d for bucket-consistent "
+                        "training)")
     # multi-host (SURVEY §5 distributed backend): every host runs this CLI
     # with the same flags plus its own --process-id
     p.add_argument("--coordinator", default=None,
@@ -92,6 +98,8 @@ def main(argv=None) -> int:
         set_config_value(config, "training.optimizer.lr", args.lr)
     if args.seed is not None:
         set_config_value(config, "training.seed", args.seed)
+    if args.mask_padding:
+        set_config_value(config, "training.mask_padding", True)
     if args.data_parallel is not None:
         set_config_value(config, "mesh.data_parallel", args.data_parallel)
     if args.model_parallel is not None:
@@ -169,6 +177,8 @@ def main(argv=None) -> int:
         val_loader = None
 
     import jax
+
+    from ..utils.runtime import resolve_prng_impl
 
     tpu_cfg = config.get("tpu", {})
     prng_impl = resolve_prng_impl(

@@ -57,6 +57,13 @@ class AudioEnhancer:
         architecture. Since *training* itself runs on bucketed widths,
         masked-bucketed inference is self-consistent with training;
         measured metric deltas vs exact mode are documented in PERF.md.
+
+        With ``model.transformer.pos_embed: factored_2d`` the positional
+        term is bucket-width invariant, and ``mask_padding=True`` then
+        makes the output independent of WHICH bucket a clip lands in
+        (~0 rel RMS cross-bucket, up to decoder-conv edge effects near
+        the smaller bucket's boundary; PERF.md #14) — recommended for
+        from-scratch training.
         """
         self.model = model
         self.variables = variables
@@ -93,31 +100,18 @@ class AudioEnhancer:
         self._core_cache: dict = {}
 
     def _patch_mask(self, mag_shape, lengths: Array) -> Array:
-        """[B, N] patch-validity mask from per-row true sample lengths.
+        """[B, N] patch-validity mask from per-row true sample lengths
+        (shared spatial math: models/components.py:patch_validity_mask)."""
+        from ..models.components import patch_validity_mask
 
-        Mirrors the model's spatial math: each encoder pool floors F and T
-        by its pool size, then PatchEmbedding tiles (patch_size x
-        patch_size); a patch column is valid iff it overlaps at least one
-        real (non-padding) STFT frame."""
-        f_dim, t_dim = int(mag_shape[-2]), int(mag_shape[-1])
-        pools = getattr(self.model, "encoder_pool_sizes", (2, 2, 1))
-        patch = getattr(self.model, "patch_size", 4)
-        down_t = patch
-        for p in pools:
-            if p and p > 1:
-                f_dim //= p
-                t_dim //= p
-                down_t *= p
-        h, w = f_dim // patch, t_dim // patch
-        hop = self.stft_cfg.hop_length
-        frames_valid = 1 + jnp.ceil(
-            jnp.maximum(lengths, 1).astype(jnp.float32) / hop
-        ).astype(jnp.int32)
-        col_start = jnp.arange(w, dtype=jnp.int32) * down_t  # first frame
-        col_valid = col_start[None, :] < frames_valid[:, None]  # [B, w]
-        return jnp.broadcast_to(
-            col_valid[:, None, :], (col_valid.shape[0], h, w)
-        ).reshape(col_valid.shape[0], h * w)
+        return patch_validity_mask(
+            lengths,
+            int(mag_shape[-2]),
+            int(mag_shape[-1]),
+            self.stft_cfg.hop_length,
+            pool_sizes=getattr(self.model, "encoder_pool_sizes", (2, 2, 1)),
+            patch_size=getattr(self.model, "patch_size", 4),
+        )
 
     # ------------------------------------------------------------------
     def _core(self, wav_len: int):

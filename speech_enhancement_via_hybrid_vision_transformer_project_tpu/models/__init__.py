@@ -17,6 +17,8 @@ from .components import (  # noqa: F401
     FeedForward,
     PatchEmbedding,
     PositionalEncoding,
+    PositionalEncoding2D,
+    patch_validity_mask,
     TransposeConvBlock,
 )
 from .hybrid_vit import HybridViT, count_parameters, create_hybrid_vit  # noqa: F401
@@ -30,6 +32,8 @@ __all__ = [
     "FeedForward",
     "PatchEmbedding",
     "PositionalEncoding",
+    "PositionalEncoding2D",
+    "patch_validity_mask",
     "DropPath",
     "MultiHeadSelfAttention",
     "TransformerEncoderBlock",

@@ -215,6 +215,85 @@ class PositionalEncoding(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=not train)
 
 
+def patch_validity_mask(
+    lengths: Array,
+    f_dim: int,
+    t_dim: int,
+    hop_length: int,
+    pool_sizes=(2, 2, 1),
+    patch_size: int = 4,
+) -> Array:
+    """``[B, N]`` patch-validity mask from per-row true sample lengths.
+
+    Mirrors the model's spatial math: each encoder pool floors F and T by
+    its pool size, then PatchEmbedding tiles ``patch_size x patch_size``;
+    a patch column is valid iff it overlaps at least one real (non-padding)
+    STFT frame. Shared by masked bucketed inference
+    (inference/enhancer.py) and masked training (training/trainer.py).
+    """
+    down_t = patch_size
+    for p in pool_sizes:
+        if p and p > 1:
+            f_dim //= p
+            t_dim //= p
+            down_t *= p
+    h, w = f_dim // patch_size, t_dim // patch_size
+    frames_valid = 1 + jnp.ceil(
+        jnp.maximum(lengths, 1).astype(jnp.float32) / hop_length
+    ).astype(jnp.int32)
+    col_start = jnp.arange(w, dtype=jnp.int32) * down_t  # first frame
+    col_valid = col_start[None, :] < frames_valid[:, None]  # [B, w]
+    return jnp.broadcast_to(
+        col_valid[:, None, :], (col_valid.shape[0], h, w)
+    ).reshape(col_valid.shape[0], h * w)
+
+
+class PositionalEncoding2D(nn.Module):
+    """Factored learned 2-D positional table: patch (i, j) on the
+    ``(freq, time)`` patch grid gets ``freq_tab[i] + time_tab[j]``.
+
+    TPU-first alternative to the reference's flat 1-D table (reference:
+    models/components.py:310-386), which indexes patches as ``i*w + j`` —
+    so the embedding assigned to a *valid* patch changes whenever the
+    padded bucket width ``w`` changes, making the bucketed fast path
+    geometrically inconsistent with exact-length inference (measured at
+    ~10-12% relative RMS, PERF.md #13). Factoring the table over the two
+    axes makes every valid patch's embedding independent of the bucket
+    width; with ``mask_padding`` the residual bucketed-vs-exact delta is
+    only conv/resize boundary effects. Select with
+    ``model.transformer.pos_embed: factored_2d``.
+    """
+
+    embed_dim: int
+    max_freq_patches: int = 64
+    max_time_patches: int = 4096
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x: Array, spatial: tuple[int, int], train: bool = False
+    ) -> Array:
+        h, w = spatial
+        if h > self.max_freq_patches or w > self.max_time_patches:
+            raise ValueError(
+                f"patch grid {spatial} exceeds positional tables "
+                f"({self.max_freq_patches}, {self.max_time_patches})"
+            )
+        freq_tab = self.param(
+            "pos_embed_freq",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (self.max_freq_patches, self.embed_dim),
+        )
+        time_tab = self.param(
+            "pos_embed_time",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (self.max_time_patches, self.embed_dim),
+        )
+        emb = freq_tab[:h, None, :] + time_tab[None, :w, :]
+        x = x + emb.reshape(1, h * w, self.embed_dim)
+        return nn.Dropout(self.dropout)(x, deterministic=not train)
+
+
 class DropPath(nn.Module):
     """Stochastic depth: drop the whole residual branch per sample
     (reference: models/components.py:389-427)."""

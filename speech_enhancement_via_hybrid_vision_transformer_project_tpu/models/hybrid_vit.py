@@ -29,6 +29,7 @@ from .components import (
     ConvBlock,
     PatchEmbedding,
     PositionalEncoding,
+    PositionalEncoding2D,
     TransposeConvBlock,
     dense_kernel_init,
 )
@@ -58,6 +59,10 @@ class HybridViT(nn.Module):
     use_skip_connections: bool = True
     use_cls_token: bool = False
     max_patches: int = 10000
+    # "learned_1d" = reference-parity flat table indexed i*w+j (bucket-width
+    # sensitive, PERF.md #13); "factored_2d" = freq-table[i] + time-table[j],
+    # invariant to padded bucket width.
+    pos_embed_type: str = "learned_1d"
     use_pallas_attention: bool = False
     attention_type: str = "standard"  # "standard" | "linear" (O(N))
     remat: bool = False  # rematerialize transformer blocks (memory << FLOPs)
@@ -114,7 +119,23 @@ class HybridViT(nn.Module):
             name="patch_embed",
         )(x)
 
-        # ===== 3. Optional CLS token =====
+        # ===== 3. Positional encoding (factored 2-D variant) =====
+        # Applied to the patch grid BEFORE the CLS token so (i, j) indexing
+        # is well-defined; the CLS token carries its own learned vector.
+        if self.pos_embed_type == "factored_2d":
+            patches = PositionalEncoding2D(
+                embed_dim=self.embed_dim,
+                max_time_patches=self.max_patches,
+                dropout=self.dropout,
+                name="pos_encoding",
+            )(patches, spatial, train=train)
+        elif self.pos_embed_type != "learned_1d":
+            raise ValueError(
+                f"unknown pos_embed_type {self.pos_embed_type!r} "
+                "(expected 'learned_1d' or 'factored_2d')"
+            )
+
+        # ===== 3b. Optional CLS token =====
         if self.use_cls_token:
             cls = self.param(
                 "cls_token",
@@ -129,14 +150,17 @@ class HybridViT(nn.Module):
                 ones = jnp.ones((mask.shape[0], 1), mask.dtype)
                 mask = jnp.concatenate([ones, mask], axis=1)
 
-        # ===== 4. Positional encoding + transformer =====
-        tokens = PositionalEncoding(
-            embed_dim=self.embed_dim,
-            max_len=self.max_patches,
-            learnable=True,
-            dropout=self.dropout,
-            name="pos_encoding",
-        )(patches, train=train)
+        # ===== 4. Positional encoding (reference 1-D table) + transformer ==
+        if self.pos_embed_type == "learned_1d":
+            tokens = PositionalEncoding(
+                embed_dim=self.embed_dim,
+                max_len=self.max_patches,
+                learnable=True,
+                dropout=self.dropout,
+                name="pos_encoding",
+            )(patches, train=train)
+        else:
+            tokens = patches
 
         transformer = VisionTransformer(
             embed_dim=self.embed_dim,
@@ -282,6 +306,7 @@ def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
         attn_dropout=tr.get("attention_dropout", 0.1),
         drop_path_rate=tr.get("drop_path_rate", 0.1),
         use_skip_connections=dec.get("use_skip_connections", True),
+        pos_embed_type=tr.get("pos_embed", "learned_1d"),
         attention_type=tr.get("attention_type", "standard"),
         remat=tr.get("remat", config.get("tpu", {}).get("remat", False)),
         use_pallas_attention=config.get("tpu", {}).get(

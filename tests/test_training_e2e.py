@@ -212,3 +212,74 @@ def test_streaming_matches_batch_roughly(synth_root):
     assert np.all(np.isfinite(stream))
     # untrained net output differs at chunk boundaries; just sanity-check scale
     assert np.abs(stream).max() < 10 * max(np.abs(full).max(), 1e-3)
+
+
+def test_masked_training_step(synth_root, tmp_path):
+    """training.mask_padding=True must exclude bucket-padding patches from
+    attention in the jitted train/eval steps — masked and unmasked steps
+    produce different losses on a padded batch, and the masked step still
+    yields finite loss/grads with the factored-2d positional embedding."""
+    import optax
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.pipeline import (
+        SpecAugmentConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.stft import (
+        STFTConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        TrainState,
+        make_step_fns,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.losses import (
+        LossConfig,
+    )
+
+    model = HybridViT(
+        embed_dim=64, num_heads=4, num_layers=2,
+        encoder_channels=(8, 16, 32), decoder_channels=(32, 16, 8, 1),
+        pos_embed_type="factored_2d",
+    )
+    rng = np.random.default_rng(0)
+    n = 40 * 128  # 41 valid frames, padded to the 64-frame bucket
+    pad = 63 * 128
+    noisy = np.zeros((2, pad), np.float32)
+    clean = np.zeros((2, pad), np.float32)
+    noisy[:, :n] = rng.standard_normal((2, n)).astype(np.float32) * 0.3
+    clean[:, :n] = noisy[:, :n] * 0.8
+    batch = {
+        "noisy_audio": jnp.asarray(noisy),
+        "clean_audio": jnp.asarray(clean),
+        "length": jnp.asarray([n, n], jnp.int32),
+        "valid": jnp.asarray([True, True]),
+    }
+
+    stft_cfg = STFTConfig()
+    feats_shape = (2, 257, 64, 1)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros(feats_shape, jnp.float32), train=False,
+    )
+    opt = optax.adamw(1e-3)
+    losses = {}
+    for masked in (False, True):
+        train_step, eval_step = make_step_fns(
+            model, opt, LossConfig(), stft_cfg, SpecAugmentConfig(),
+            augment=False, use_attention_mask=masked,
+        )
+        # fresh buffers each round: train_step donates its state argument
+        params = jax.tree.map(jnp.copy, variables["params"])
+        state = TrainState(
+            params=params,
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        new_state, metrics = train_step(state, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(metrics["total"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+        ev = eval_step(new_state, batch)
+        assert np.isfinite(float(ev["total"]))
+        losses[masked] = float(metrics["total"])
+    # padding patches attend in one and not the other -> losses differ
+    assert losses[False] != losses[True], losses
