@@ -467,10 +467,13 @@ class Trainer:
             train_metrics = self.train_epoch(epoch)
             run_val = (epoch + 1) % max(self.val_every, 1) == 0
             val_metrics = self.validate() if run_val else {}
+            validated = run_val and "total" in val_metrics
             val_loss = val_metrics.get("total", train_metrics.get("total", 0.0))
 
-            # per-epoch scheduler step (plateau gets the val loss)
-            lr = self.scheduler(epoch + 1, val_loss)
+            # per-epoch scheduler step (plateau gets the val loss, and only
+            # on epochs that actually validated — a train loss must never
+            # drive the plateau state)
+            lr = self.scheduler(epoch + 1, val_loss if validated else None)
             self.state = self.state.replace(
                 opt_state=set_learning_rate(self.state.opt_state, lr)
             )
@@ -486,15 +489,21 @@ class Trainer:
             history["val_loss"].append(val_loss)
 
             self._log_audio_samples(epoch)
-            improved = val_loss < self.best_val_loss - self.min_delta
-            if improved:
-                self.best_val_loss = val_loss
-                self.epochs_no_improve = 0
-                # best-on-val is always kept (reference policy:
-                # best + every-N + final, trainer.py:314-342)
-                self.save(self.checkpoint_dir / "best_model", epoch)
-            else:
-                self.epochs_no_improve += 1
+            # best-model / early-stop bookkeeping runs ONLY on epochs that
+            # actually validated: with val_every_n_epochs > 1 a (low-dropout)
+            # train loss must never overwrite best_model or reset patience.
+            # The reference validates every epoch (trainer.py:269-337) so it
+            # never faces this; the knob is ours, so is the guard.
+            if validated:
+                improved = val_loss < self.best_val_loss - self.min_delta
+                if improved:
+                    self.best_val_loss = val_loss
+                    self.epochs_no_improve = 0
+                    # best-on-val is always kept (reference policy:
+                    # best + every-N + final, trainer.py:314-342)
+                    self.save(self.checkpoint_dir / "best_model", epoch)
+                else:
+                    self.epochs_no_improve += 1
             if self.save_every and (epoch + 1) % self.save_every == 0:
                 self.save(self.checkpoint_dir / f"checkpoint_epoch_{epoch+1}", epoch)
             self.current_epoch = epoch + 1
