@@ -25,7 +25,7 @@ from ..data.wavio import load_audio, save_wav
 from ..inference.enhancer import AudioEnhancer
 from .metrics import compute_all_metrics
 
-METRIC_KEYS = ("pesq", "stoi", "si_sdr", "snr", "seg_snr", "lsd")
+METRIC_KEYS = ("pesq", "stoi", "si_sdr", "snr", "seg_snr", "lsd", "lsd_db")
 
 
 class Evaluator:

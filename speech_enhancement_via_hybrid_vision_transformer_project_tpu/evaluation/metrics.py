@@ -94,25 +94,42 @@ def segmental_snr(
     return float(np.mean(vals)) if vals else float("nan")
 
 
+# 20/ln(10): converts an RMS of natural-log magnitude differences to an
+# RMS of dB (20*log10) magnitude differences — the two LSD conventions.
+_LN_TO_DB = 20.0 / np.log(10.0)
+
+
+def _centered_mag_spec(x: np.ndarray, n_fft: int, hop_length: int) -> np.ndarray:
+    """[T, F] magnitude spectrogram with librosa.stft>=0.10 semantics:
+    center=True zero padding by n_fft//2, periodic hann, win_length=n_fft."""
+    win = np.hanning(n_fft + 1)[:-1]  # periodic hann
+    x = np.pad(x, (n_fft // 2, n_fft // 2))
+    n_frames = 1 + (len(x) - n_fft) // hop_length
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    return np.abs(np.fft.rfft(x[idx] * win, axis=1))
+
+
 def log_spectral_distance(
     reference: np.ndarray,
     estimate: np.ndarray,
     n_fft: int = 512,
     hop_length: int = 128,
+    eps: float = 1e-10,
 ) -> float:
-    """LSD in dB between power spectra (reference:
-    evaluation/metrics.py:246-296). Lower is better."""
+    """Log-spectral distance on the **reference's scale** (reference:
+    evaluation/metrics.py:246-296): per-frame RMS over frequency of
+    *natural-log magnitude* differences, averaged over frames, with the
+    reference's eps=1e-10 and librosa.stft framing (center=True zero pad,
+    periodic hann). Lower is better. Multiply by ``20/ln(10) ≈ 8.6859``
+    for the dB-magnitude convention (reported as ``lsd_db``)."""
     ref, est = _match(reference, estimate)
-    win = np.hanning(n_fft + 1)[:-1]  # periodic hann
-    n_frames = 1 + max(0, (len(ref) - n_fft)) // hop_length
-    if n_frames == 0:
+    if len(ref) == 0:
         return float("nan")
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    r_spec = np.abs(np.fft.rfft(ref[idx] * win, axis=1)) ** 2
-    e_spec = np.abs(np.fft.rfft(est[idx] * win, axis=1)) ** 2
-    r_log = 10.0 * np.log10(r_spec + EPS)
-    e_log = 10.0 * np.log10(e_spec + EPS)
-    return float(np.mean(np.sqrt(np.mean((r_log - e_log) ** 2, axis=1))))
+    r_mag = _centered_mag_spec(ref, n_fft, hop_length)
+    e_mag = _centered_mag_spec(est, n_fft, hop_length)
+    d = np.log(r_mag + eps) - np.log(e_mag + eps)
+    # reference: mean over frequency (axis=0 of [F,T]) -> sqrt -> frame mean
+    return float(np.mean(np.sqrt(np.mean(d**2, axis=1))))
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +324,16 @@ def compute_all_metrics(
     include_pesq: bool = True,
 ) -> Dict[str, float]:
     """All metrics for one utterance, plus improvement-over-noisy deltas
-    (reference: evaluation/metrics.py:299-349)."""
+    (reference: evaluation/metrics.py:299-349).
+
+    ``lsd`` is on the reference's natural-log scale; ``lsd_db`` is the same
+    distance in dB-magnitude convention (×20/ln10). Improvement semantics:
+    every ``*_improvement`` is signed so that **positive = better** —
+    ``enhanced − noisy`` for the higher-is-better metrics (pesq, stoi,
+    si_sdr, snr, seg_snr — the reference emits the first four,
+    evaluation/metrics.py:337-348) and ``noisy − enhanced`` for LSD, the
+    one lower-is-better metric (a positive ``lsd_improvement`` is a
+    *reduction* in log-spectral distance)."""
     out = {
         "si_sdr": si_sdr(clean, enhanced),
         "snr": snr(clean, enhanced),
@@ -315,6 +341,7 @@ def compute_all_metrics(
         "lsd": log_spectral_distance(clean, enhanced),
         "stoi": stoi(clean, enhanced, sample_rate),
     }
+    out["lsd_db"] = out["lsd"] * _LN_TO_DB
     if include_pesq:
         out["pesq"] = pesq_score(clean, enhanced, sample_rate)
     if noisy is not None:
@@ -325,11 +352,14 @@ def compute_all_metrics(
             "lsd": log_spectral_distance(clean, noisy),
             "stoi": stoi(clean, noisy, sample_rate),
         }
+        base["lsd_db"] = base["lsd"] * _LN_TO_DB
         if include_pesq:
             base["pesq"] = pesq_score(clean, noisy, sample_rate)
+        lower_is_better = {"lsd", "lsd_db"}
         for k, v in base.items():
             out[f"noisy_{k}"] = v
-            out[f"{k}_improvement"] = out[k] - v
+            delta = (v - out[k]) if k in lower_is_better else (out[k] - v)
+            out[f"{k}_improvement"] = delta
     return out
 
 

@@ -113,3 +113,88 @@ def test_pesq_mos_lqo_mapping_values():
     ys = [mos_lqo_map(float(v), "nb") for v in xs]
     assert all(b > a for a, b in zip(ys, ys[1:]))
     assert min(ys) >= 0.99 and max(ys) <= 5.0
+
+
+# ---------------------------------------------------------------------------
+# LSD — golden parity with the reference formula (round-2 verdict #2)
+# ---------------------------------------------------------------------------
+
+
+def _reference_lsd(clean, enhanced, n_fft=512, hop=128, eps=1e-10):
+    """Independent reimplementation of the reference's compute_lsd
+    (/root/reference/evaluation/metrics.py:246-296): librosa.stft>=0.10
+    magnitude spectrograms (center=True, zero pad_mode, periodic hann),
+    natural-log difference, mean over the frequency axis, sqrt, frame mean.
+    Written loop-wise with scipy's window so it shares no code with the
+    production implementation."""
+    from scipy.signal import get_window
+
+    w = get_window("hann", n_fft, fftbins=True)
+    n = min(len(clean), len(enhanced))
+    specs = []
+    for x in (clean[:n], enhanced[:n]):
+        xp = np.concatenate([np.zeros(n_fft // 2), x, np.zeros(n_fft // 2)])
+        frames = [
+            np.abs(np.fft.rfft(xp[s : s + n_fft] * w))
+            for s in range(0, len(xp) - n_fft + 1, hop)
+        ]
+        specs.append(np.asarray(frames).T)  # [F, T] like librosa
+    c, e = specs
+    d = np.log(c + eps) - np.log(e + eps)
+    return float(np.mean(np.sqrt(np.mean(d**2, axis=0))))
+
+
+@pytest.mark.parametrize("seed,sigma", [(0, 0.05), (1, 0.3), (2, 1.0)])
+def test_lsd_matches_reference_formula(seed, sigma):
+    clean = _speechlike(2.0, seed)
+    deg = clean + sigma * np.random.default_rng(seed + 50).standard_normal(
+        len(clean)
+    )
+    got = M.log_spectral_distance(clean, deg)
+    want = _reference_lsd(clean, deg)
+    assert got == pytest.approx(want, rel=1e-9), (got, want)
+    # and the dB-convention companion is exactly the 20/ln(10) rescale
+    out = M.compute_all_metrics(clean, deg, include_pesq=False)
+    assert out["lsd_db"] == pytest.approx(got * 20.0 / np.log(10.0))
+
+
+def test_lsd_scale_pinned():
+    """Regression fixture pinning the LSD *scale* (the round-2 repo scale
+    was ~8.686x the reference's; these values were computed with the
+    reference formula and must never drift)."""
+    clean = _speechlike(2.0, 7)
+    rng = np.random.default_rng(57)
+    noise = rng.standard_normal(len(clean))
+    vals = [
+        M.log_spectral_distance(clean, clean + s * noise)
+        for s in (0.05, 0.3, 1.0)
+    ]
+    # values computed once with the reference formula on this fixture
+    # (large because the harmonic fixture has near-zero bins where the
+    # log(eps) floor dominates; the old dB-power scale was ~8.7x larger)
+    assert vals[0] == pytest.approx(11.2317, abs=1e-3)
+    assert vals[1] == pytest.approx(12.8918, abs=1e-3)
+    assert vals[2] == pytest.approx(14.0189, abs=1e-3)
+    assert vals[0] < vals[1] < vals[2]
+
+
+def test_lsd_improvement_sign_positive_means_better():
+    """lsd_improvement must be positive when enhancement REDUCED the
+    log-spectral distance and negative when it increased it (round-2
+    verdict weak #2: the old enhanced-minus-noisy sign reported a
+    regression as +2.91 'improvement')."""
+    clean = _speechlike(2.0, 3)
+    rng = np.random.default_rng(99)
+    noise = rng.standard_normal(len(clean))
+    noisy = clean + 0.3 * noise
+    better = clean + 0.1 * noise
+    worse = clean + 0.8 * noise
+    out_better = M.compute_all_metrics(clean, better, noisy, SR, include_pesq=False)
+    out_worse = M.compute_all_metrics(clean, worse, noisy, SR, include_pesq=False)
+    assert out_better["lsd"] < out_better["noisy_lsd"]
+    assert out_better["lsd_improvement"] > 0
+    assert out_worse["lsd"] > out_worse["noisy_lsd"]
+    assert out_worse["lsd_improvement"] < 0
+    # higher-is-better metrics keep enhanced-minus-noisy
+    assert out_better["si_sdr_improvement"] > 0
+    assert out_worse["si_sdr_improvement"] < 0
