@@ -59,6 +59,11 @@ class HybridViT(nn.Module):
     use_skip_connections: bool = True
     use_cls_token: bool = False
     max_patches: int = 10000
+    # factored_2d frequency-table size: must cover the freq patch grid
+    # h = (n_freq_bins // prod(pools)) // patch_size — 16 for the default
+    # n_fft=512; create_hybrid_vit derives it from the config so large
+    # n_fft (>= 4096) configs don't hit the table bound
+    max_freq_patches: int = 64
     # "learned_1d" = reference-parity flat table indexed i*w+j (bucket-width
     # sensitive, PERF.md #13); "factored_2d" = freq-table[i] + time-table[j],
     # invariant to padded bucket width.
@@ -125,6 +130,7 @@ class HybridViT(nn.Module):
         if self.pos_embed_type == "factored_2d":
             patches = PositionalEncoding2D(
                 embed_dim=self.embed_dim,
+                max_freq_patches=self.max_freq_patches,
                 max_time_patches=self.max_patches,
                 dropout=self.dropout,
                 name="pos_encoding",
@@ -279,6 +285,21 @@ def count_parameters(params) -> Dict[str, int]:
     return counts
 
 
+def _derive_max_freq_patches(config: Dict) -> int:
+    """Frequency patch-grid size implied by the config's STFT geometry:
+    n_freq_bins floored through the encoder pools, then patchified. Keeps
+    the factored-2d frequency table large enough for any n_fft (a 64-row
+    floor preserves the historical default for hand-built configs)."""
+    mc = config.get("model", {})
+    f = config.get("spectrogram", {}).get(
+        "n_freq_bins", config.get("audio", {}).get("n_fft", 512) // 2 + 1
+    )
+    for p in mc.get("encoder", {}).get("pool_sizes", (2, 2, 1)):
+        f //= max(int(p), 1)
+    h = max(1, f // int(mc.get("transformer", {}).get("patch_size", 4)))
+    return max(64, h)
+
+
 def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
     """Build a HybridViT from the merged config dict
     (reference: models/hybrid_vit.py:492-525 — same config keys)."""
@@ -307,6 +328,9 @@ def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
         drop_path_rate=tr.get("drop_path_rate", 0.1),
         use_skip_connections=dec.get("use_skip_connections", True),
         pos_embed_type=tr.get("pos_embed", "learned_1d"),
+        max_freq_patches=tr.get(
+            "max_freq_patches", _derive_max_freq_patches(config)
+        ),
         attention_type=tr.get("attention_type", "standard"),
         remat=tr.get("remat", config.get("tpu", {}).get("remat", False)),
         use_pallas_attention=config.get("tpu", {}).get(

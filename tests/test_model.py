@@ -367,9 +367,8 @@ def test_factored_pos_embed_bucket_width_invariant():
         mod.apply(vs, jnp.zeros((1, h * w2, 16)), (h, w2))
     ).reshape(h, w2, 16)[:, :w1, :]
     np.testing.assert_array_equal(small, big)
-    # and the 1-D table does NOT have this property (sanity of the claim)
-    flat = vs["params"]["pos_embed_freq"]  # any table works for the check
-    del flat
+    # (the 1-D table's lack of this invariance is covered by
+    # test_enhance_parity.py's cross-bucket delta assertions)
 
 
 def test_factored_pos_embed_exceeding_table_raises():
@@ -387,3 +386,36 @@ def test_unknown_pos_embed_type_raises():
     model = HybridViT(pos_embed_type="rotary", **SMALL)
     with pytest.raises(ValueError, match="pos_embed_type"):
         _init(model)
+
+
+def test_large_nfft_factored_2d_freq_table_derived():
+    """create_hybrid_vit must size the factored-2d frequency table from the
+    config's STFT geometry: n_fft=4096 gives a 128-row freq patch grid
+    (2049 bins -> pools /4 -> 512 -> patch /4 -> 128), which the old
+    hardcoded 64-row table rejected at init (ADVICE r2 #3)."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        create_hybrid_vit,
+    )
+
+    cfg = {
+        "audio": {"n_fft": 4096},
+        "model": {
+            "encoder": {"channels": [4, 8, 16], "pool_sizes": [2, 2, 1]},
+            "transformer": {
+                "embed_dim": 32, "num_heads": 2, "num_layers": 1,
+                "pos_embed": "factored_2d", "dropout": 0.0,
+                "attention_dropout": 0.0, "drop_path_rate": 0.0,
+            },
+            "decoder": {"channels": [16, 8, 4, 1]},
+        },
+    }
+    model = create_hybrid_vit(cfg)
+    assert model.max_freq_patches == 128
+    f_bins = 4096 // 2 + 1
+    x = jnp.zeros((1, f_bins, 32, 1), jnp.float32)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    assert vs["params"]["pos_encoding"]["pos_embed_freq"].shape[0] == 128
+    out = model.apply(vs, x, train=False)
+    assert out.shape == x.shape
