@@ -117,6 +117,17 @@ def main() -> int:
     audio_s = b * wav_len / sr
     print(f"inference step: {dt*1e3:.2f} ms  "
           f"throughput: {audio_s/dt:,.0f} audio-s/s on device")
+
+    # ---- MFU: XLA's exact FLOP count of THIS compiled step / peak ----
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from flops import mfu_report, xla_program_flops
+
+    try:
+        xla_fl = xla_program_flops(step, variables, counter)
+        print(f"FLOPs/step (xla): {xla_fl/1e9:.1f} GF   MFU: "
+              + mfu_report(xla_fl, dt))
+    except Exception as e:
+        print(f"(xla cost_analysis unavailable: {e})")
     return 0
 
 

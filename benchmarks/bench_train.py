@@ -151,13 +151,38 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / args.iters
 
     audio_s = b * wav_len / 16000
-    # rough fwd FLOPs: 2*params*tokens-equivalent is meaningless for conv
-    # nets; report step time + audio throughput (the north-star unit)
     print(
         f"train step: {dt*1e3:.2f} ms  "
         f"throughput: {audio_s/dt:,.0f} audio-s/s  "
         f"steps/s: {1/dt:,.1f}"
     )
+
+    # ---- MFU (round-2 verdict #1): exact FLOPs, two independent legs ----
+    # analytic per-stage count (benchmarks/flops.py, asserted against XLA
+    # in tests/test_flops.py) and XLA's own count of THIS compiled step
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from flops import (
+        mfu_report,
+        spec_from_model,
+        train_step_flops,
+        xla_program_flops,
+    )
+
+    analytic = train_step_flops(
+        spec_from_model(model), b, 257, t, n_params=counts["total"]
+    )
+    try:
+        xla_fl = xla_program_flops(train_step, state, batch, key)
+    except Exception as e:  # cost model unavailable on some backends
+        print(f"(xla cost_analysis unavailable: {e})")
+        xla_fl = None
+    print(
+        f"FLOPs/step: analytic {analytic['train_total']/1e9:.1f} GF "
+        f"(featurize {analytic['featurize']/1e9:.1f} + 3x fwd "
+        f"{analytic['forward']/1e9:.1f})"
+        + (f"  xla {xla_fl/1e9:.1f} GF" if xla_fl else "")
+    )
+    print("MFU: " + mfu_report(xla_fl or analytic["train_total"], dt))
     return 0
 
 

@@ -84,14 +84,30 @@ def coloured_noise(n: int, rng: np.random.Generator) -> np.ndarray:
     white = rng.standard_normal(n)
     spec = np.fft.rfft(white)
     freqs = np.maximum(np.fft.rfftfreq(n, 1.0 / SR), 1.0)
-    kind = rng.integers(0, 3)
+    kind = rng.integers(0, 5)
     if kind == 0:  # white
         shaped = spec
     elif kind == 1:  # pink
         shaped = spec / np.sqrt(freqs)
-    else:  # band-passed rumble/hiss
+    elif kind == 2:  # band-passed rumble/hiss
         lo, hi = sorted(rng.uniform(100, 7000, size=2))
         shaped = spec * ((freqs >= lo) & (freqs <= hi))
+    elif kind == 3:  # mains-hum harmonics + white floor (DEMAND-ish office)
+        base = rng.choice([50.0, 60.0])
+        t = np.arange(n) / SR
+        hum = sum(
+            rng.uniform(0.3, 1.0) * np.sin(2 * np.pi * base * h * t
+                                           + rng.uniform(0, 6))
+            for h in range(1, 7)
+        )
+        x = hum / (np.abs(hum).max() + 1e-9) + 0.15 * white
+        return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+    else:  # babble-like: syllabically AM-modulated pink noise
+        t = np.arange(n) / SR
+        am = 1.0 + 0.6 * np.sin(2 * np.pi * rng.uniform(2.0, 6.0) * t
+                                + rng.uniform(0, 6))
+        x = np.fft.irfft(spec / np.sqrt(freqs), n=n) * am
+        return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
     x = np.fft.irfft(shaped, n=n)
     return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
 
