@@ -67,9 +67,17 @@ class Evaluator:
         max_files: Optional[int] = None,
         progress: bool = True,
         exact: bool = False,
+        window_batches: int = 4,
     ) -> Dict[str, Dict[str, float]]:
         """Sweep a test set (reference: evaluator.py:157-231): pair files by
-        name, enhance batched, score per file, aggregate mean±std."""
+        name, enhance batched, score per file, aggregate mean±std.
+
+        Host memory is bounded like ``enhance_directory``'s sweep: clips are
+        length-sorted from WAV *headers* only (no decode), then loaded,
+        enhanced, scored and written in windows of
+        ``window_batches * batch_size`` files — at most one window of
+        noisy+clean audio is resident at a time, so a million-file sweep
+        holds the same RSS as an 824-file one."""
         noisy_dir, clean_dir = Path(noisy_dir), Path(clean_dir)
         files = sorted(noisy_dir.glob("*.wav"))
         files = [f for f in files if (clean_dir / f.name).exists()]
@@ -78,108 +86,114 @@ class Evaluator:
         if not files:
             raise FileNotFoundError(f"no paired wavs under {noisy_dir}")
 
-        noisy_wavs = [load_audio(f, self.sample_rate)[0] for f in files]
-        clean_wavs = [
-            load_audio(clean_dir / f.name, self.sample_rate)[0] for f in files
-        ]
-        order = np.argsort([len(w) for w in noisy_wavs])
+        from ..data.wavio import wav_info
+
+        lengths = np.asarray([wav_info(f)[0] for f in files])
+        order = np.argsort(lengths, kind="stable")
         # clips beyond the largest bucket go through chunked streaming —
         # batch-path padding would zero their tails and corrupt metrics
         cap = self.enhancer.max_samples
-        long_idx = [j for j in order if len(noisy_wavs[j]) > cap]
+        long_idx = [j for j in order if lengths[j] > cap]
         if not exact:
             order = np.asarray(
-                [j for j in order if len(noisy_wavs[j]) <= cap], order.dtype
+                [j for j in order if lengths[j] <= cap], order.dtype
             )
 
         per_file: Dict[str, Dict[str, float]] = {}
-        audio_seconds = sum(len(w) for w in noisy_wavs) / self.sample_rate
+        audio_seconds = float(lengths.sum()) / self.sample_rate
+        self.last_peak_files_in_memory = 0  # diagnostic, asserted in tests
 
         if not exact:
-            # pre-compile the enhance core for every bucket present so the
-            # reported throughput is steady-state, not compile time
+            # pre-compile the enhance core for every bucket present (from
+            # header lengths, no audio decoded) so the reported throughput
+            # is steady-state, not compile time
             seen = set()
             for j in order:
-                wl = self.enhancer._padded_len(len(noisy_wavs[j]))
+                wl = self.enhancer._padded_len(int(lengths[j]))
                 if wl not in seen:
                     seen.add(wl)
+                    warm = np.zeros(int(lengths[j]), np.float32)
+                    warm[:: self.sample_rate // 100] = 0.5
                     np.asarray(
-                        self.enhancer.enhance_batch_async(
-                            [noisy_wavs[j]] * batch_size
-                        )
+                        self.enhancer.enhance_batch_async([warm] * batch_size)
                     )
 
         t0 = time.perf_counter()
         done = 0
+
+        def progress_tick(n):
+            nonlocal done
+            done += n
+            if progress:
+                print(f"\r[eval] {done}/{len(files)} files", end="", flush=True)
+
+        def score(j, noisy, clean, enh):
+            per_file[files[j].name] = self.evaluate_pair(
+                noisy, clean, enhanced=enh
+            )
+            if output_dir is not None:
+                save_wav(Path(output_dir) / files[j].name, enh, self.sample_rate)
+
         if exact:
             # reference-exact: per-file at true length (no bucket padding;
-            # one compile per distinct length — parity runs only)
-            batch_size = 1
-
-        def consume(idx, device_out):
-            nonlocal done
-            out = np.asarray(device_out)  # blocks on this batch only
-            for row, j in enumerate(idx):
-                enh = out[row, : len(noisy_wavs[j])]
-                per_file[files[j].name] = self.evaluate_pair(
-                    noisy_wavs[j], clean_wavs[j], enhanced=enh
+            # one compile per distinct length — parity runs only); loads
+            # one pair at a time
+            for j in order:
+                noisy = load_audio(files[j], self.sample_rate)[0]
+                clean = load_audio(clean_dir / files[j].name, self.sample_rate)[0]
+                self.last_peak_files_in_memory = max(
+                    self.last_peak_files_in_memory, 2
                 )
-                if output_dir is not None:
-                    save_wav(
-                        Path(output_dir) / files[j].name, enh, self.sample_rate
+                enh = self.enhancer.enhance(noisy, exact=True)
+                score(j, noisy, clean, enh)
+                progress_tick(1)
+        else:
+            # windowed + pipelined: load one window of pairs, dispatch its
+            # batches with batch i+1 in flight before consuming batch i
+            # (host metric computation overlaps TPU compute), then free it
+            from collections import deque
+
+            window = max(1, window_batches) * batch_size
+
+            for w0 in range(0, len(order), window):
+                widx = order[w0 : w0 + window]
+                loaded = {
+                    j: (
+                        load_audio(files[j], self.sample_rate)[0],
+                        load_audio(clean_dir / files[j].name, self.sample_rate)[0],
                     )
-            done += len(idx)
-            if progress:
-                print(
-                    f"\r[eval] {done}/{len(files)} files", end="", flush=True
+                    for j in widx
+                }
+                self.last_peak_files_in_memory = max(
+                    self.last_peak_files_in_memory, 2 * len(loaded)
                 )
+                pending: deque = deque()
 
-        # pipelined: dispatch batch i+1 before consuming batch i, so host
-        # metric computation overlaps TPU compute (JAX async dispatch)
-        from collections import deque
+                def consume(idx, device_out):
+                    out = np.asarray(device_out)  # blocks on this batch only
+                    for row, j in enumerate(idx):
+                        noisy, clean = loaded[j]
+                        score(j, noisy, clean, out[row, : len(noisy)])
+                    progress_tick(len(idx))
 
-        pending: deque = deque()
-        for i in range(0, len(order), batch_size):
-            idx = order[i : i + batch_size]
-            if exact:
-                enh = self.enhancer.enhance(noisy_wavs[idx[0]], exact=True)
-                per_file[files[idx[0]].name] = self.evaluate_pair(
-                    noisy_wavs[idx[0]], clean_wavs[idx[0]], enhanced=enh
-                )
-                if output_dir is not None:
-                    save_wav(
-                        Path(output_dir) / files[idx[0]].name,
-                        enh,
-                        self.sample_rate,
-                    )
-                done += 1
-                if progress:
-                    print(f"\r[eval] {done}/{len(files)} files", end="",
-                          flush=True)
-                continue
-            wavs = [noisy_wavs[j] for j in idx]
-            if len(wavs) < batch_size:  # pad last batch: no extra compile
-                wavs = wavs + [wavs[-1]] * (batch_size - len(wavs))
-            dev = self.enhancer.enhance_batch_async(wavs)
-            pending.append((idx, dev))
-            if len(pending) > 2:
-                consume(*pending.popleft())
-        while pending:
-            consume(*pending.popleft())
-        if not exact:
+                for i in range(0, len(widx), batch_size):
+                    idx = widx[i : i + batch_size]
+                    wavs = [loaded[j][0] for j in idx]
+                    if len(wavs) < batch_size:  # pad batch: no extra compile
+                        wavs = wavs + [wavs[-1]] * (batch_size - len(wavs))
+                    dev = self.enhancer.enhance_batch_async(wavs)
+                    pending.append((idx, dev))
+                    if len(pending) > 2:
+                        consume(*pending.popleft())
+                while pending:
+                    consume(*pending.popleft())
+                loaded.clear()
             for j in long_idx:
-                enh = self.enhancer.enhance_streaming(noisy_wavs[j])
-                per_file[files[j].name] = self.evaluate_pair(
-                    noisy_wavs[j], clean_wavs[j], enhanced=enh
-                )
-                if output_dir is not None:
-                    save_wav(
-                        Path(output_dir) / files[j].name, enh, self.sample_rate
-                    )
-                done += 1
-                if progress:
-                    print(f"\r[eval] {done}/{len(files)} files", end="",
-                          flush=True)
+                noisy = load_audio(files[j], self.sample_rate)[0]
+                clean = load_audio(clean_dir / files[j].name, self.sample_rate)[0]
+                enh = self.enhancer.enhance_streaming(noisy)
+                score(j, noisy, clean, enh)
+                progress_tick(1)
         if progress:
             print()
         elapsed = time.perf_counter() - t0
