@@ -11,6 +11,16 @@ on a modern GPU (README.md:29, :413-416; BASELINE.md), i.e. ~1.0
 audio-second/second at batch 1. ``vs_baseline`` is therefore the realtime
 factor.
 
+Besides the end-to-end link-inclusive rate (``value``), the same JSON
+line carries ``device_audio_s_per_s`` — the batched ON-DEVICE rate of the
+identical jitted core measured with the chained-counter protocol (PERF.md
+"Measurement methodology": each step's batch is synthesized on device from
+a counter that depends on the previous step's output, so the relay cache
+cannot fake it and no host traffic pollutes it) — plus ``mfu_pct`` from
+XLA's own FLOP count of that compiled step against the chip's bf16 peak.
+End-to-end deltas are mostly relay-link weather; compute regressions show
+up in the device fields (round-2 verdict weak #7).
+
 Prints exactly ONE JSON line.
 """
 
@@ -79,6 +89,58 @@ def main() -> None:
     audio_seconds = iters * batch * seconds
     throughput = audio_seconds / elapsed
 
+    # ---- on-device rate of the same core, chained-counter protocol ----
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.stft import (
+        STFTConfig,
+        magphase,
+        reconstruct,
+        stft,
+    )
+
+    cfg = STFTConfig()
+    frames = wav_len_raw // cfg.hop_length
+    wav_len = frames * cfg.hop_length
+    key0 = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def device_step(variables, counter):
+        k = jax.random.fold_in(key0, counter)
+        noisy = 0.3 * jax.random.normal(k, (batch, wav_len), jnp.float32)
+        mx = jnp.max(jnp.abs(noisy), axis=-1, keepdims=True)
+        x = noisy / jnp.where(mx > 1e-8, mx, 1.0)
+        re, im = stft(x, cfg, method="auto")
+        mag, phase = magphase(re, im)
+        mm = jnp.max(mag, axis=(-2, -1), keepdims=True)
+        mm = jnp.where(mm > 1e-8, mm, 1.0)
+        out = model.apply(variables, (mag / mm)[..., None], train=False)[..., 0]
+        y = reconstruct(out * mm, phase, cfg, length=wav_len, method="auto")
+        return counter + 1 + (jnp.abs(y).max() * 0).astype(jnp.int32)
+
+    counter = jnp.asarray(0, jnp.int32)
+    jax.block_until_ready(device_step(variables, counter))  # compile
+    dev_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(dev_iters):
+        counter = device_step(variables, counter)
+    jax.block_until_ready(counter)
+    dev_dt = (time.perf_counter() - t0) / dev_iters
+    device_rate = batch * (wav_len / sr) / dev_dt
+
+    mfu_pct = None
+    try:
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "benchmarks"))
+        from flops import peak_bf16_flops, xla_program_flops
+
+        peak = peak_bf16_flops()
+        if peak:
+            fl = xla_program_flops(device_step, variables, counter)
+            mfu_pct = round(100.0 * (fl / dev_dt) / peak, 2)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -86,6 +148,9 @@ def main() -> None:
                 "value": round(throughput, 2),
                 "unit": "audio_s/s",
                 "vs_baseline": round(throughput / 1.0, 2),
+                "device_audio_s_per_s": round(device_rate, 2),
+                "device_step_ms": round(dev_dt * 1e3, 3),
+                "mfu_pct": mfu_pct,
             }
         )
     )
