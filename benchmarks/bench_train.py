@@ -137,17 +137,41 @@ def main() -> int:
     train_step, _ = make_step_fns(
         model, opt, LossConfig(), stft_cfg, SpecAugmentConfig()
     )
-    key = jax.random.PRNGKey(0)
+    key0 = jax.random.PRNGKey(0)
+
+    # Counter-chained protocol (see PERF.md "Measurement methodology"):
+    # the batch is synthesized ON DEVICE from a counter that data-depends
+    # on the previous step's loss, so every iteration presents fresh
+    # buffer contents AND fresh buffer ids to the relay — the only
+    # protocol observed to defeat its result cache (chained *donated*
+    # state re-presents the same buffer ids and gets served cached
+    # results: the scaled config "measured" 5 ms/step = 885% MFU that
+    # way). Synthesizing on device also keeps host traffic out of the
+    # timed region.
+    def bench_step(state, counter):
+        k = jax.random.fold_in(key0, counter)
+        kn, kc, kr = jax.random.split(k, 3)
+        dev_batch = {
+            "noisy_audio": jax.random.normal(kn, (b, wav_len), jnp.float32),
+            "clean_audio": jax.random.normal(kc, (b, wav_len), jnp.float32),
+            "length": jnp.full((b,), wav_len, jnp.int32),
+            "valid": jnp.ones((b,), bool),
+        }
+        new_state, m = train_step(state, dev_batch, kr)
+        return new_state, counter + 1 + (m["total"] * 0).astype(jnp.int32)
+
+    bench_step = jax.jit(bench_step)
+    counter = jnp.asarray(0, jnp.int32)
 
     t0 = time.perf_counter()
-    state, m = train_step(state, batch, key)
-    jax.block_until_ready(m["total"])
+    state, counter = bench_step(state, counter)
+    jax.block_until_ready(counter)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        state, m = train_step(state, batch, key)
-    jax.block_until_ready(m["total"])
+        state, counter = bench_step(state, counter)
+    jax.block_until_ready(counter)
     dt = (time.perf_counter() - t0) / args.iters
 
     audio_s = b * wav_len / 16000
@@ -172,7 +196,7 @@ def main() -> int:
         spec_from_model(model), b, 257, t, n_params=counts["total"]
     )
     try:
-        xla_fl = xla_program_flops(train_step, state, batch, key)
+        xla_fl = xla_program_flops(bench_step, state, counter)
     except Exception as e:  # cost model unavailable on some backends
         print(f"(xla cost_analysis unavailable: {e})")
         xla_fl = None
