@@ -139,6 +139,20 @@ class LossConfig:
     mse_weight: float = 0.0
     stoi_weight: float = 0.1
     perceptual_weight: float = 0.0
+    # Blended log-magnitude L1 term ADDED to the linear losses (no
+    # reference counterpart). Distinct from ``use_log_compression``,
+    # which REPLACES the linear domain entirely and is a measured dead
+    # end (PERF.md #15: -31 dB SI-SDR as sole loss). A small blended
+    # weight keeps the linear term in charge of signal fidelity while
+    # constraining the near-silent bins that drive LSD.
+    # ``log_eps`` is the log floor: d/dx log(|x|+eps) = 1/(|x|+eps), so
+    # eps bounds the gradient a near-silent bin can draw. The default
+    # 1e-2 is the measured working point (PERF.md #16): at eps 1e-8
+    # even a 0.02 blend destroys SI-SDR (-9.9 dB); at eps 1e-2 a 0.05
+    # blend turns the LSD regression positive (+1.4) while keeping
+    # ~1.9 dB SI-SDR gain.
+    log_l1_weight: float = 0.0
+    log_eps: float = 1e-2
     use_log_compression: bool = False
     use_frame_mask: bool = False
 
@@ -150,6 +164,8 @@ class LossConfig:
             mse_weight=lc.get("mse_weight", 0.0),
             stoi_weight=lc.get("stoi_weight", 0.1),
             perceptual_weight=lc.get("perceptual_weight", 0.0),
+            log_l1_weight=lc.get("log_l1_weight", 0.0),
+            log_eps=lc.get("log_eps", 1e-2),
             use_log_compression=lc.get("use_log_compression", False),
             use_frame_mask=lc.get("use_frame_mask", False),
         )
@@ -195,6 +211,15 @@ def combined_loss(
         mse = masked_mean((pred_in - target_in) ** 2, mask)
         components["mse"] = mse
         total = total + cfg.mse_weight * mse
+    if cfg.log_l1_weight > 0:
+        ll1 = masked_mean(
+            jnp.abs(
+                log_compress(pred, cfg.log_eps) - log_compress(target, cfg.log_eps)
+            ),
+            mask,
+        )
+        components["log_l1"] = ll1
+        total = total + cfg.log_l1_weight * ll1
     if cfg.stoi_weight > 0:
         st = stoi_proxy_loss(pred, target, mask, sample_weight=sample_valid)
         components["stoi"] = st

@@ -108,6 +108,19 @@ def main():
         action="store_true",
         help="train on log-compressed magnitudes (loss-recipe experiments)",
     )
+    ap.add_argument(
+        "--log-l1",
+        type=float,
+        default=0.0,
+        help="blended log-L1 weight added to the linear L1 (PERF.md #16)",
+    )
+    ap.add_argument(
+        "--log-eps",
+        type=float,
+        default=1e-8,
+        help="log floor for the blended term: bounds the 1/(|x|+eps) "
+        "gradient of near-silent bins (PERF.md #16 ablation)",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -134,7 +147,12 @@ def main():
     def err(pred, target):
         if args.log_compression:
             return jnp.abs(log_compress(pred) - log_compress(target))
-        return jnp.abs(pred - target)
+        e = jnp.abs(pred - target)
+        if args.log_l1 > 0:
+            e = e + args.log_l1 * jnp.abs(
+                log_compress(pred, args.log_eps) - log_compress(target, args.log_eps)
+            )
+        return e
 
     @jax.jit
     def step(params, bstats, opt_state, noisy, clean):

@@ -83,6 +83,46 @@ def test_combined_loss_default_weights(rng):
     )
 
 
+def test_combined_loss_blended_log_l1(rng):
+    """log_l1_weight ADDS a log-magnitude L1 on the raw (linear) specs —
+    it must not replace the linear term (that is use_log_compression,
+    the measured dead end, PERF.md #15) and must be NaN-safe on negative
+    Tanh-range predictions."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.losses import (
+        log_compress,
+    )
+
+    pred = jnp.asarray(rng.random((2, 9, 8, 1)) - 0.5, jnp.float32)  # negatives
+    tgt = jnp.asarray(rng.random((2, 9, 8, 1)), jnp.float32)
+    cfg = LossConfig(log_l1_weight=0.02)
+    total, comps = combined_loss(pred, tgt, cfg)
+    assert {"l1", "log_l1", "stoi", "total"} <= comps.keys()
+    assert np.isfinite(float(total))
+    expected_ll1 = float(
+        jnp.mean(
+            jnp.abs(log_compress(pred, cfg.log_eps) - log_compress(tgt, cfg.log_eps))
+        )
+    )
+    np.testing.assert_allclose(float(comps["log_l1"]), expected_ll1, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(total),
+        float(comps["l1"]) + 0.02 * expected_ll1 + 0.1 * float(comps["stoi"]),
+        rtol=1e-5,
+    )
+    # config round-trip
+    cfg2 = LossConfig.from_config(
+        {"training": {"loss": {"log_l1_weight": 0.05, "log_eps": 0.02}}}
+    )
+    assert cfg2.log_l1_weight == 0.05
+    assert cfg2.log_eps == 0.02
+    # the floor bounds the gradient: a near-silent target bin must not
+    # dominate (PERF.md #16) — grad magnitude <= 1/log_eps
+    g = jax.grad(
+        lambda p: combined_loss(p, jnp.zeros_like(pred), cfg)[0]
+    )(jnp.zeros_like(pred) + 1e-7)
+    assert float(jnp.max(jnp.abs(g))) < 1.0 / cfg.log_eps + 1.0
+
+
 def test_stoi_proxy_identical_is_zero(rng):
     x = jnp.asarray(rng.random((3, 5, 7, 1)), jnp.float32)
     assert float(stoi_proxy_loss(x, x)) < 1e-6
