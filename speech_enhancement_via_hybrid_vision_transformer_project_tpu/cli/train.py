@@ -44,6 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "them attend; pair with model.transformer."
                         "pos_embed: factored_2d for bucket-consistent "
                         "training)")
+    p.add_argument("--pos-embed", default=None,
+                   choices=["learned_1d", "factored_2d", "sinusoidal"],
+                   help="positional-embedding variant override (default "
+                        "learned_1d = reference parity; factored_2d is "
+                        "the recommended from-scratch recipe, PERF.md #14)")
+    p.add_argument("--log-l1-weight", type=float, default=None,
+                   help="blend a gradient-floored log-magnitude L1 into "
+                        "the loss (0.05 is the measured LSD fix, "
+                        "PERF.md #16; default 0 = reference loss parity)")
     # multi-host (SURVEY §5 distributed backend): every host runs this CLI
     # with the same flags plus its own --process-id
     p.add_argument("--coordinator", default=None,
@@ -100,6 +109,10 @@ def main(argv=None) -> int:
         set_config_value(config, "training.seed", args.seed)
     if args.mask_padding:
         set_config_value(config, "training.mask_padding", True)
+    if args.pos_embed is not None:
+        set_config_value(config, "model.transformer.pos_embed", args.pos_embed)
+    if args.log_l1_weight is not None:
+        set_config_value(config, "training.loss.log_l1_weight", args.log_l1_weight)
     if args.data_parallel is not None:
         set_config_value(config, "mesh.data_parallel", args.data_parallel)
     if args.model_parallel is not None:

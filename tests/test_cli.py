@@ -186,3 +186,42 @@ def test_enhance_cli_mask_padding(cli_env, tmp_path):
     assert plain.shape == masked.shape
     assert np.isfinite(masked).all()
     assert np.abs(plain - masked).max() > 0  # 0.45 s clip in a 64-frame bucket
+
+
+def test_train_cli_recipe_flags(cli_env, tmp_path):
+    """--pos-embed / --log-l1-weight / --mask-padding drive the full
+    recommended from-scratch recipe (PERF.md #14/#16) without YAML edits."""
+    tmp, data, cfg_dir = cli_env
+    rc = train_cli.main([
+        "--config-dir", str(cfg_dir),
+        "--data-root", str(data),
+        "--device", "cpu",
+        "--epochs", "1",
+        "--batch-size", "8",
+        "--pos-embed", "factored_2d",
+        "--log-l1-weight", "0.05",
+        "--mask-padding",
+        "--checkpoint-dir", str(tmp_path / "ck2"),
+        "--log-dir", str(tmp_path / "lg2"),
+    ])
+    assert rc == 0
+    import flax.serialization as fser
+
+    state = fser.msgpack_restore(
+        (tmp_path / "ck2" / "final_model" / "state.msgpack").read_bytes()
+    )
+    flat = json.dumps(sorted(_all_keys(state)))
+    assert "pos_embed_freq" in flat and "pos_embed_time" in flat
+    logs = list((tmp_path / "lg2").rglob("metrics.jsonl"))
+    assert logs, "train CLI wrote no metrics.jsonl"
+    text = logs[0].read_text()
+    assert "log_l1" in text, "blended log-L1 component missing from logs"
+
+
+def _all_keys(tree):
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.append(str(k))
+            out.extend(_all_keys(v))
+    return out
