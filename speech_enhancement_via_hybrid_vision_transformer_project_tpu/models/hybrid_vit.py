@@ -135,10 +135,10 @@ class HybridViT(nn.Module):
                 dropout=self.dropout,
                 name="pos_encoding",
             )(patches, spatial, train=train)
-        elif self.pos_embed_type != "learned_1d":
+        elif self.pos_embed_type not in ("learned_1d", "sinusoidal"):
             raise ValueError(
                 f"unknown pos_embed_type {self.pos_embed_type!r} "
-                "(expected 'learned_1d' or 'factored_2d')"
+                "(expected 'learned_1d', 'sinusoidal' or 'factored_2d')"
             )
 
         # ===== 3b. Optional CLS token =====
@@ -157,11 +157,11 @@ class HybridViT(nn.Module):
                 mask = jnp.concatenate([ones, mask], axis=1)
 
         # ===== 4. Positional encoding (reference 1-D table) + transformer ==
-        if self.pos_embed_type == "learned_1d":
+        if self.pos_embed_type in ("learned_1d", "sinusoidal"):
             tokens = PositionalEncoding(
                 embed_dim=self.embed_dim,
                 max_len=self.max_patches,
-                learnable=True,
+                learnable=self.pos_embed_type == "learned_1d",
                 dropout=self.dropout,
                 name="pos_encoding",
             )(patches, train=train)

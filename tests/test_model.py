@@ -419,3 +419,30 @@ def test_large_nfft_factored_2d_freq_table_derived():
     assert vs["params"]["pos_encoding"]["pos_embed_freq"].shape[0] == 128
     out = model.apply(vs, x, train=False)
     assert out.shape == x.shape
+
+
+def test_sinusoidal_pos_embed_variant():
+    """pos_embed: sinusoidal is a fixed (parameter-free) table on the 1-D
+    path — selectable from config/CLI alongside learned_1d/factored_2d."""
+    import jax
+    import jax.numpy as jnp
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+        create_hybrid_vit,
+    )
+
+    model = create_hybrid_vit(
+        {"model": {"encoder": {"channels": [4, 8, 16], "dropout": 0.0},
+                   "transformer": {"embed_dim": 32, "num_heads": 2,
+                                    "num_layers": 1, "pos_embed": "sinusoidal",
+                                    "attention_dropout": 0.0,
+                                    "drop_path_rate": 0.0},
+                   "decoder": {"channels": [16, 8, 4, 1]}}}
+    )
+    x = jnp.zeros((1, 257, 64, 1), jnp.float32)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    # no positional parameters: the sinusoidal table is a constant
+    assert "pos_encoding" not in vs["params"]
+    y = model.apply(vs, x, train=False)
+    assert y.shape == x.shape and jnp.isfinite(y).all()
