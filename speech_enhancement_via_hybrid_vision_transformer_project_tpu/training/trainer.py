@@ -114,6 +114,7 @@ def make_step_fns(
     stft_method: str = "matmul",
     augment: bool = True,
     use_attention_mask: bool = False,
+    skip_nonfinite: bool = True,
     mesh=None,
 ):
     """Build jitted (train_step, eval_step) closed over static config.
@@ -183,6 +184,25 @@ def make_step_fns(
         gnorm = optax.global_norm(grads)
         metrics = {k: v for k, v in comps.items()}
         metrics["grad_norm"] = gnorm
+        if skip_nonfinite:
+            # A single non-finite gradient (bf16 overflow, loss spike)
+            # would otherwise poison the params FOREVER — every later
+            # step computes NaN·0 = NaN. The reference is protected by
+            # torch.cuda.amp.GradScaler, which skips the optimizer step
+            # when it finds infs/NaNs (reference: training/trainer.py
+            # scaler.step/update); this is the bf16-no-scaler equivalent:
+            # keep params/opt-state/batch-stats from BEFORE the bad step.
+            ok = jnp.isfinite(gnorm) & jnp.isfinite(comps["total"])
+
+            def keep(new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), new, old
+                )
+
+            new_params = keep(new_params, state.params)
+            new_opt = keep(new_opt, state.opt_state)
+            new_stats = keep(new_stats, state.batch_stats)
+            metrics["nonfinite_skipped"] = 1.0 - ok.astype(jnp.float32)
         new_state = state.replace(
             params=new_params,
             batch_stats=new_stats,
@@ -336,6 +356,7 @@ class Trainer:
             stft_method=stft_method,
             augment=aug.get("enabled", True),
             use_attention_mask=tc.get("mask_padding", False),
+            skip_nonfinite=tc.get("skip_nonfinite_updates", True),
             mesh=self.mesh,
         )
         self.stopwatch = Stopwatch()

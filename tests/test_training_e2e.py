@@ -369,3 +369,88 @@ def test_evaluator_windowed_memory_bound(synth_root, tmp_path):
         assert results["per_file"][name][k] == pytest.approx(
             direct[k], rel=1e-4, abs=1e-6
         )
+
+
+def test_nonfinite_guard_skips_bad_updates():
+    """A batch producing non-finite grads must NOT touch params/opt-state
+    (the bf16 equivalent of the reference's GradScaler step-skipping);
+    the next clean batch must update normally. skip_nonfinite=False
+    documents the hazard: one bad batch poisons the params forever."""
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.trainer import (
+        TrainState,
+        make_step_fns,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.losses import (
+        LossConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.stft import (
+        STFTConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.augmentation import (
+        SpecAugmentConfig,
+    )
+
+    import optax
+
+    model = HybridViT(**TINY_MODEL)
+    rng = np.random.default_rng(0)
+    n = 40 * 128
+    pad = 63 * 128
+    noisy = np.zeros((2, pad), np.float32)
+    noisy[:, :n] = rng.standard_normal((2, n)).astype(np.float32) * 0.3
+    clean = (noisy * 0.8).astype(np.float32)
+    good = {
+        "noisy_audio": jnp.asarray(noisy),
+        "clean_audio": jnp.asarray(clean),
+        "length": jnp.asarray([n, n], jnp.int32),
+        "valid": jnp.asarray([True, True]),
+    }
+    bad = dict(good)
+    bad["noisy_audio"] = good["noisy_audio"].at[0, 10].set(jnp.nan)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 257, 64, 1), jnp.float32), train=False,
+    )
+    opt = optax.adamw(1e-3)
+
+    def fresh_state():
+        params = jax.tree.map(jnp.copy, variables["params"])
+        return TrainState(
+            params=params,
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    train_step, _ = make_step_fns(
+        model, opt, LossConfig(), STFTConfig(), SpecAugmentConfig(),
+        augment=False, skip_nonfinite=True,
+    )
+    s1, m1 = train_step(fresh_state(), bad, jax.random.PRNGKey(7))
+    assert float(m1["nonfinite_skipped"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(variables["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s1.step) == 1  # step counter still advances
+    before = [np.asarray(l) for l in jax.tree_util.tree_leaves(s1.params)]
+    s2, m2 = train_step(s1, good, jax.random.PRNGKey(8))  # donates s1
+    assert float(m2["nonfinite_skipped"]) == 0.0
+    assert np.isfinite(float(m2["total"]))
+    diffs = [
+        float(np.abs(np.asarray(a) - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(s2.params), before)
+    ]
+    assert max(diffs) > 0  # the clean step really updated
+
+    unguarded, _ = make_step_fns(
+        model, opt, LossConfig(), STFTConfig(), SpecAugmentConfig(),
+        augment=False, skip_nonfinite=False,
+    )
+    s3, _ = unguarded(fresh_state(), bad, jax.random.PRNGKey(7))
+    leaves = np.concatenate([
+        np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(s3.params)
+    ])
+    assert not np.isfinite(leaves).all()
