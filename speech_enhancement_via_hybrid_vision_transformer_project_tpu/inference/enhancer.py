@@ -405,8 +405,31 @@ class AudioEnhancer:
 def load_model_for_inference(
     checkpoint_path: str | Path, config: Optional[Dict] = None
 ):
-    """Build the model + load weights (reference: enhancer.py:258-290)."""
-    config = config or {}
+    """Build the model + load weights (reference: enhancer.py:258-290).
+
+    Architecture truth lives in the checkpoint: training checkpoints
+    carry the merged config in ``meta.json``, so a model trained with
+    e.g. ``--pos-embed factored_2d`` loads for inference without the
+    caller reproducing that YAML edit. The checkpoint's ``model`` /
+    ``audio`` / ``spectrogram`` sections override the caller's (weights
+    must match them anyway); runtime sections (``inference``, ``tpu``,
+    buckets, io_dtype) stay the caller's choice.
+    """
+    config = dict(config or {})
+    meta_path = Path(checkpoint_path) / "meta.json"
+    if meta_path.exists():
+        import json
+
+        saved = json.loads(meta_path.read_text()).get("config", {})
+        for section in ("model", "audio", "spectrogram"):
+            if saved.get(section):
+                if config.get(section) and config[section] != saved[section]:
+                    print(
+                        f"note: using the checkpoint's '{section}' config "
+                        "(differs from the provided one; weights must "
+                        "match the trained architecture)"
+                    )
+                config[section] = saved[section]
     model = create_hybrid_vit(config)
     # init a template to restore into
     import jax.random as jr

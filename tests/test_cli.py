@@ -216,6 +216,17 @@ def test_train_cli_recipe_flags(cli_env, tmp_path):
     assert logs, "train CLI wrote no metrics.jsonl"
     text = logs[0].read_text()
     assert "log_l1" in text, "blended log-L1 component missing from logs"
+    # the factored_2d checkpoint must load for inference with the DEFAULT
+    # config (no pos_embed YAML edit) — architecture comes from meta.json
+    out = tmp_path / "recipe_enh.wav"
+    rc = enhance_cli.main([
+        "--checkpoint", str(tmp_path / "ck2" / "final_model"),
+        "--config-dir", str(cfg_dir),
+        "--device", "cpu",
+        "--input", str(data / "noisy_testset_wav" / "t0.wav"),
+        "--output", str(out),
+    ])
+    assert rc == 0 and out.exists()
 
 
 def _all_keys(tree):
