@@ -158,7 +158,12 @@ def main(argv=None) -> int:
         local_bs = global_bs // n_proc
         fixed_bucket = buckets[-1]
         train_max_batches = (len(train_ds) // n_proc) // local_bs
-        val_max_batches = (len(val_ds) // n_proc) // local_bs
+        # validation must NOT be dropped just because the smallest host
+        # shard can't fill a local batch (the reference validates every
+        # epoch, trainer.py:269-337): ceil instead of floor — the loader
+        # pads the short final batch to local_bs and marks pad rows
+        # valid=False, which the eval step's sample_valid masking ignores
+        val_max_batches = -(-(len(val_ds) // n_proc) // local_bs)
         if train_max_batches < 1:
             raise SystemExit(
                 f"{len(train_ds)} train files cannot feed {n_proc} hosts "
@@ -187,6 +192,13 @@ def main(argv=None) -> int:
         max_batches=val_max_batches,
     )
     if multihost and val_max_batches == 0:
+        # only reachable when some host's val shard is EMPTY
+        # (len(val_ds) < num hosts) — no batch can be padded out of zero
+        # files; the Trainer then tracks best_model on the train loss
+        print(
+            "warning: validation set smaller than the host count — "
+            "skipping validation (best_model tracks the train loss)"
+        )
         val_loader = None
 
     import jax

@@ -202,6 +202,14 @@ def make_step_fns(
             new_params = keep(new_params, state.params)
             new_opt = keep(new_opt, state.opt_state)
             new_stats = keep(new_stats, state.batch_stats)
+            # mask the metrics too: a skipped step's NaN loss/grad-norm
+            # must not poison the per-epoch averages (params are kept,
+            # so the logs should reflect the accepted trajectory);
+            # train_epoch divides loss metrics by the ACCEPTED count
+            metrics = {
+                k: jnp.where(ok, v, jnp.zeros_like(v))
+                for k, v in metrics.items()
+            }
             metrics["nonfinite_skipped"] = 1.0 - ok.astype(jnp.float32)
         new_state = state.replace(
             params=new_params,
@@ -463,7 +471,15 @@ class Trainer:
         if profiling:  # fewer than 8 batches in the epoch
             jax.profiler.stop_trace()
         host_totals = jax.device_get(totals)
-        return {k: float(v) / max(count, 1) for k, v in host_totals.items()}
+        # skipped (non-finite) steps contribute zeros to every metric sum,
+        # so average the loss/grad metrics over the ACCEPTED steps only;
+        # nonfinite_skipped itself stays a fraction of ALL steps
+        skipped = float(host_totals.get("nonfinite_skipped", 0.0))
+        accepted = max(count - skipped, 1.0)
+        return {
+            k: float(v) / (max(count, 1) if k == "nonfinite_skipped" else accepted)
+            for k, v in host_totals.items()
+        }
 
     def validate(self) -> Dict[str, float]:
         if self.val_loader is None:
@@ -483,6 +499,15 @@ class Trainer:
     def train(self) -> Dict[str, float]:
         """Full training run (reference: training/trainer.py:253-348)."""
         history = {"train_loss": [], "val_loss": []}
+        if self.val_loader is None:
+            # the reference always has a val split, so `best_model` is
+            # always best-on-val (trainer.py:314-328). Without any
+            # validation the closest equivalent is best-on-TRAIN-loss —
+            # never silently dropping the best-checkpoint contract.
+            print(
+                "warning: no validation loader — best_model will track "
+                "the training loss instead of a validation loss"
+            )
         for epoch in range(self.current_epoch, self.num_epochs):
             t0 = time.perf_counter()
             train_metrics = self.train_epoch(epoch)
@@ -515,7 +540,11 @@ class Trainer:
             # train loss must never overwrite best_model or reset patience.
             # The reference validates every epoch (trainer.py:269-337) so it
             # never faces this; the knob is ours, so is the guard.
-            if validated:
+            # Exception: with NO validation loader at all, `val_loss` above
+            # falls back to the train loss and best_model tracks that —
+            # otherwise a no-val run would never write best_model and
+            # report `best val loss inf` (round-3 regression).
+            if validated or self.val_loader is None:
                 improved = val_loss < self.best_val_loss - self.min_delta
                 if improved:
                     self.best_val_loss = val_loss

@@ -196,3 +196,16 @@ def test_two_process_cpu_train(tmp_path):
     # each host saw its shard: 18 train files -> 9 local, batch 2 local
     for pid, out in enumerate(outs):
         assert "train files: 9" in out, out[:2000]
+
+    # the 2 val files split 1 per host < local batch 2 — lockstep must
+    # PAD the short shard to one valid-masked batch, not drop validation
+    # (reference validates every epoch, trainer.py:269-337; r3 dropped it
+    # here and with it the best_model contract). Evidence: best_model
+    # exists and per-epoch val metrics were logged.
+    assert (ckpt / "best_model" / "state.msgpack").exists()
+    logfiles = list(Path(logs).glob("**/metrics.jsonl"))
+    assert logfiles, "no metrics.jsonl written"
+    log_text = logfiles[0].read_text()
+    assert '"epoch/val_total"' in log_text or "epoch/val_total" in log_text, (
+        "no validation metrics logged — lockstep dropped validation"
+    )
