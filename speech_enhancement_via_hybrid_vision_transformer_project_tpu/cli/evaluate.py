@@ -30,10 +30,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard evaluation batches over this many devices "
                         "('data' mesh axis; params replicated)")
+    p.add_argument("--blend", default=None,
+                   help="do-no-harm output mix: float in [0,1] (fraction "
+                        "of enhanced magnitude; 1.0 = pure model output) "
+                        "or 'snr_adaptive' (per-clip back-off on "
+                        "already-clean input)")
     p.add_argument("--mask-padding", action="store_true",
                    help="exclude bucket-padding patches from attention via "
                         "the model's key-padding mask (bucketed mode only)")
     return p
+
+
+def _parse_blend(value):
+    if value is None:
+        return 1.0
+    try:
+        return float(value)
+    except ValueError:
+        return value
 
 
 def main(argv=None) -> int:
@@ -56,13 +70,14 @@ def main(argv=None) -> int:
         print(f"warning: config load failed ({e}); using defaults")
         config = {}
 
-    model, variables = load_model_for_inference(args.checkpoint, config)
+    model, variables, config = load_model_for_inference(args.checkpoint, config)
     from ..parallel.mesh import mesh_for_data_parallel
 
     enhancer = AudioEnhancer(
         model, variables, config,
         mesh=mesh_for_data_parallel(args.data_parallel),
         mask_padding=args.mask_padding,
+        blend=_parse_blend(args.blend),
     )
 
     data_root = Path(

@@ -30,9 +30,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device transfer width (int16 halves link traffic)")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard server batches over this many devices")
+    p.add_argument("--blend", default=None,
+                   help="do-no-harm output mix: float in [0,1] (fraction "
+                        "of enhanced magnitude; 1.0 = pure model output) "
+                        "or 'snr_adaptive' (per-clip back-off on "
+                        "already-clean input)")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile the common length buckets at startup")
     return p
+
+
+def _parse_blend(value):
+    if value is None:
+        return 1.0
+    try:
+        return float(value)
+    except ValueError:
+        return value
 
 
 def main(argv=None) -> int:
@@ -56,12 +70,13 @@ def main(argv=None) -> int:
         print(f"warning: config load failed ({e}); using defaults")
         config = {}
 
-    model, variables = load_model_for_inference(args.checkpoint, config)
+    model, variables, config = load_model_for_inference(args.checkpoint, config)
     from ..parallel.mesh import mesh_for_data_parallel
 
     enhancer = AudioEnhancer(
         model, variables, config, io_dtype=args.io_dtype,
         mesh=mesh_for_data_parallel(args.data_parallel),
+        blend=_parse_blend(args.blend),
     )
     if args.warmup:
         sr = enhancer.sample_rate

@@ -199,6 +199,7 @@ class Evaluator:
         elapsed = time.perf_counter() - t0
 
         summary = self.aggregate(per_file)
+        summary["_by_input_snr"] = self.aggregate_by_input_snr(per_file)
         summary["_meta"] = {
             "num_files": float(len(files)),
             "audio_seconds": float(audio_seconds),
@@ -237,6 +238,57 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def aggregate_by_input_snr(
+        per_file: Dict[str, Dict[str, float]],
+        edges: tuple = (-5.0, 0.0, 5.0, 10.0, 15.0),
+        keys: tuple = (
+            "si_sdr_improvement",
+            "snr_improvement",
+            "stoi_improvement",
+            "lsd_improvement",
+        ),
+    ) -> Dict[str, Dict[str, float]]:
+        """Mean improvement per input-SNR bin (binned on each file's
+        measured ``noisy_snr``). Quality variance is SNR-dependent — a
+        model can help at −5 dB and *hurt* already-clean audio — so the
+        aggregate mean alone hides harm (r3 readout: per-clip SI-SDR
+        std 3.76 dB). Bins outside the edge range land in open-ended
+        ``<lo`` / ``>=hi`` bins. No reference counterpart (the reference
+        reports only dataset means, evaluation/evaluator.py:218-225)."""
+        out: Dict[str, Dict[str, float]] = {}
+        labels = (
+            [f"<{edges[0]:g}dB"]
+            + [f"[{lo:g},{hi:g})dB" for lo, hi in zip(edges, edges[1:])]
+            + [f">={edges[-1]:g}dB"]
+        )
+        for name, m in per_file.items():
+            s = m.get("noisy_snr")
+            if s is None or not np.isfinite(s):
+                continue
+            b = int(np.searchsorted(np.asarray(edges), s, side="right"))
+            bin_key = labels[b]
+            bucket = out.setdefault(bin_key, {k: [] for k in keys})
+            for k in keys:
+                v = m.get(k)
+                if v is not None and np.isfinite(v):
+                    bucket[k].append(float(v))
+        report: Dict[str, Dict[str, float]] = {}
+        for bin_key in labels:
+            if bin_key not in out:
+                continue
+            vals = out[bin_key]
+            row: Dict[str, float] = {
+                "count": float(len(next(iter(vals.values()), [])))
+            }
+            for k in keys:
+                if vals[k]:
+                    row[k] = float(np.mean(vals[k]))
+                    row["count"] = float(len(vals[k]))
+            report[bin_key] = row
+        return report
+
+    # ------------------------------------------------------------------
+    @staticmethod
     def save_results(results: Dict, path: str | Path) -> Path:
         """JSON results writer (reference: evaluator.py:233-263)."""
         path = Path(path)
@@ -256,6 +308,20 @@ class Evaluator:
                 lines.append(
                     f"{k:>24s}: {stats['mean']: .4f} ± {stats['std']:.4f}"
                     f"  (n={int(stats['count'])})"
+                )
+        by_snr = summary.get("_by_input_snr", {})
+        if by_snr:
+            lines.append("-" * 60)
+            lines.append("mean improvement by input SNR bin:")
+            for bin_key, row in by_snr.items():
+                parts = [
+                    f"{k.replace('_improvement', '')} {v:+.2f}"
+                    for k, v in row.items()
+                    if k != "count"
+                ]
+                lines.append(
+                    f"{bin_key:>14s} (n={int(row.get('count', 0))}): "
+                    + "  ".join(parts)
                 )
         meta = summary.get("_meta", {})
         if meta:

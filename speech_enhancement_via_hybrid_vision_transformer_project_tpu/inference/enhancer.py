@@ -45,6 +45,10 @@ class AudioEnhancer:
         io_dtype: str = "float32",
         mesh=None,
         mask_padding: bool = False,
+        blend: float | str = 1.0,
+        blend_min: float = 0.3,
+        blend_pivot_db: float = 18.0,
+        blend_width_db: float = 4.0,
     ):
         """``mask_padding=True`` excludes bucket-padding patches from
         attention via the model's key-padding mask (the normalization
@@ -97,6 +101,28 @@ class AudioEnhancer:
             raise ValueError(f"io_dtype must be float32|int16, got {io_dtype}")
         self.io_dtype = io_dtype
         self.mask_padding = bool(mask_padding)
+        # do-no-harm knob: the model's gain is SNR-dependent and can turn
+        # NEGATIVE on already-clean input (r3: per-clip SI-SDR std 3.76 dB).
+        #   blend = 1.0            -> pure enhanced output (reference parity)
+        #   blend = a in [0, 1)    -> fixed magnitude-domain mix
+        #                             a*enhanced + (1-a)*noisy
+        #   blend = "snr_adaptive" -> per-clip mix driven by the model's own
+        #       noise estimate: est_snr = 10*log10(|enh|^2 / |mag-enh|^2);
+        #       alpha ramps from 1 (noisy input, full enhancement) down to
+        #       ``blend_min`` around ``blend_pivot_db`` — backing off where
+        #       the model has little noise left to remove and mostly
+        #       distorts. No reference counterpart (its output is always
+        #       the raw model output, inference/enhancer.py:109-133).
+        if not (blend == "snr_adaptive" or (
+            isinstance(blend, (int, float)) and 0.0 <= float(blend) <= 1.0
+        )):
+            raise ValueError(
+                f"blend must be a float in [0,1] or 'snr_adaptive', got {blend!r}"
+            )
+        self.blend = blend
+        self.blend_min = float(blend_min)
+        self.blend_pivot_db = float(blend_pivot_db)
+        self.blend_width_db = float(blend_width_db)
         self._core_cache: dict = {}
 
     def _patch_mask(self, mag_shape, lengths: Array) -> Array:
@@ -145,6 +171,26 @@ class AudioEnhancer:
                 variables, normed[..., None], mask=mask, train=False
             )[..., 0]
             enhanced_mag = out * mag_max
+            # do-no-harm blend (see __init__): magnitude-domain mix with
+            # the noisy magnitude — with shared noisy phase and a linear
+            # iSTFT this equals the waveform-domain mix, for one iSTFT
+            if self.blend == "snr_adaptive":
+                sig = jnp.sum(
+                    jnp.square(enhanced_mag), axis=(-2, -1), keepdims=True
+                )
+                res = jnp.sum(
+                    jnp.square(mag - enhanced_mag), axis=(-2, -1), keepdims=True
+                )
+                est_snr = 10.0 * jnp.log10(
+                    jnp.maximum(sig, 1e-12) / jnp.maximum(res, 1e-12)
+                )
+                alpha = self.blend_min + (1.0 - self.blend_min) * jax.nn.sigmoid(
+                    (self.blend_pivot_db - est_snr) / self.blend_width_db
+                )
+                enhanced_mag = alpha * enhanced_mag + (1.0 - alpha) * mag
+            elif float(self.blend) != 1.0:
+                a = float(self.blend)
+                enhanced_mag = a * enhanced_mag + (1.0 - a) * mag
             # noisy-phase reuse; polar recombination fuses into the Pallas
             # iSTFT kernel on TPU (reference: enhancer.py:117-129)
             y = reconstruct(
@@ -414,15 +460,27 @@ def load_model_for_inference(
     ``audio`` / ``spectrogram`` sections override the caller's (weights
     must match them anyway); runtime sections (``inference``, ``tpu``,
     buckets, io_dtype) stay the caller's choice.
+
+    Returns ``(model, variables, config)`` — the MERGED config. Callers
+    must build ``AudioEnhancer`` from it (not their original config) so
+    the STFT feature pipeline matches the trained model.
     """
     config = dict(config or {})
     meta_path = Path(checkpoint_path) / "meta.json"
     if meta_path.exists():
         import json
 
-        saved = json.loads(meta_path.read_text()).get("config", {})
+        try:
+            saved = json.loads(meta_path.read_text()).get("config", {})
+        except (json.JSONDecodeError, OSError, AttributeError) as e:
+            # a truncated/corrupt meta.json must not make otherwise
+            # loadable weights fail: fall back to the caller's config
+            print(f"warning: unreadable meta.json ({e}); using the provided config")
+            saved = {}
+        if not isinstance(saved, dict):
+            saved = {}
         for section in ("model", "audio", "spectrogram"):
-            if saved.get(section):
+            if isinstance(saved.get(section), dict) and saved[section]:
                 if config.get(section) and config[section] != saved[section]:
                     print(
                         f"note: using the checkpoint's '{section}' config "
@@ -442,7 +500,7 @@ def load_model_for_inference(
 
     template = jit_init(model, jnp.zeros((1, f_bins, 128, 1), jnp.float32))
     variables = load_model_weights(checkpoint_path, template)
-    return model, variables
+    return model, variables, config
 
 
 def enhance_audio(
@@ -451,7 +509,7 @@ def enhance_audio(
     config: Optional[Dict] = None,
 ) -> np.ndarray:
     """(reference: enhancer.py:197-229)"""
-    model, variables = load_model_for_inference(checkpoint_path, config)
+    model, variables, config = load_model_for_inference(checkpoint_path, config)
     return AudioEnhancer(model, variables, config).enhance(noisy_audio)
 
 
@@ -462,7 +520,7 @@ def enhance_file(
     config: Optional[Dict] = None,
 ) -> np.ndarray:
     """(reference: enhancer.py:232-255)"""
-    model, variables = load_model_for_inference(checkpoint_path, config)
+    model, variables, config = load_model_for_inference(checkpoint_path, config)
     return AudioEnhancer(model, variables, config).enhance_file(
         input_path, output_path
     )

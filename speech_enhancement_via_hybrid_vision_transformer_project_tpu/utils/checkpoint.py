@@ -101,7 +101,15 @@ def load_checkpoint(path: str | Path, target: Any) -> tuple[Any, Dict]:
     meta = {}
     mp = path / "meta.json"
     if mp.exists():
-        meta = json.loads(mp.read_text())
+        try:
+            meta = json.loads(mp.read_text())
+        except (json.JSONDecodeError, OSError) as e:
+            # a truncated meta.json (interrupted save) must not make the
+            # weights unloadable — the state tree is the recovery payload
+            print(f"warning: unreadable meta.json under {path} ({e})")
+            meta = {}
+    if not isinstance(meta, dict):
+        meta = {}
     return tree, meta
 
 
