@@ -78,13 +78,57 @@ def speechlike(seconds: float, rng: np.random.Generator) -> np.ndarray:
     return y.astype(np.float32)
 
 
-def coloured_noise(n: int, rng: np.random.Generator) -> np.ndarray:
-    """White/pink/band-limited noise mix — varied enough that the model
-    can't just learn one fixed spectral subtraction."""
+def hum_noise(
+    n: int, rng: np.random.Generator, white: np.ndarray | None = None
+) -> np.ndarray:
+    """Mains-hum harmonics + white floor (DEMAND-ish office noise).
+    Draw order is part of the RNG-stream contract with ``coloured_noise``."""
+    if white is None:
+        white = rng.standard_normal(n)
+    base = rng.choice([50.0, 60.0])
+    t = np.arange(n) / SR
+    hum = sum(
+        rng.uniform(0.3, 1.0) * np.sin(2 * np.pi * base * h * t
+                                       + rng.uniform(0, 6))
+        for h in range(1, 7)
+    )
+    x = hum / (np.abs(hum).max() + 1e-9) + 0.15 * white
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def babble_noise(
+    n: int, rng: np.random.Generator, white: np.ndarray | None = None
+) -> np.ndarray:
+    """Babble-like: syllabically AM-modulated pink noise. Draw order is
+    part of the RNG-stream contract with ``coloured_noise``."""
+    if white is None:
+        white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    freqs = np.maximum(np.fft.rfftfreq(n, 1.0 / SR), 1.0)
+    t = np.arange(n) / SR
+    am = 1.0 + 0.6 * np.sin(2 * np.pi * rng.uniform(2.0, 6.0) * t
+                            + rng.uniform(0, 6))
+    x = np.fft.irfft(spec / np.sqrt(freqs), n=n) * am
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def coloured_noise(
+    n: int, rng: np.random.Generator, n_families: int = 5
+) -> np.ndarray:
+    """White/pink/band-limited/hum/babble noise mix — varied enough that
+    the model can't just learn one fixed spectral subtraction.
+
+    ``n_families`` pins how many noise kinds are drawn from (in the order
+    white, pink, band-pass, mains-hum, babble). Tests that regression-pin
+    a training budget against a fixed data distribution pass
+    ``n_families=3`` — the round-2 generator — so extending this function
+    with new families does not silently shift their RNG stream (a round-3
+    breakage; any change here requires re-running ``pytest -m slow``).
+    """
     white = rng.standard_normal(n)
     spec = np.fft.rfft(white)
     freqs = np.maximum(np.fft.rfftfreq(n, 1.0 / SR), 1.0)
-    kind = rng.integers(0, 5)
+    kind = rng.integers(0, n_families)
     if kind == 0:  # white
         shaped = spec
     elif kind == 1:  # pink
@@ -93,21 +137,9 @@ def coloured_noise(n: int, rng: np.random.Generator) -> np.ndarray:
         lo, hi = sorted(rng.uniform(100, 7000, size=2))
         shaped = spec * ((freqs >= lo) & (freqs <= hi))
     elif kind == 3:  # mains-hum harmonics + white floor (DEMAND-ish office)
-        base = rng.choice([50.0, 60.0])
-        t = np.arange(n) / SR
-        hum = sum(
-            rng.uniform(0.3, 1.0) * np.sin(2 * np.pi * base * h * t
-                                           + rng.uniform(0, 6))
-            for h in range(1, 7)
-        )
-        x = hum / (np.abs(hum).max() + 1e-9) + 0.15 * white
-        return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+        return hum_noise(n, rng, white)
     else:  # babble-like: syllabically AM-modulated pink noise
-        t = np.arange(n) / SR
-        am = 1.0 + 0.6 * np.sin(2 * np.pi * rng.uniform(2.0, 6.0) * t
-                                + rng.uniform(0, 6))
-        x = np.fft.irfft(spec / np.sqrt(freqs), n=n) * am
-        return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+        return babble_noise(n, rng, white)
     x = np.fft.irfft(shaped, n=n)
     return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
 
