@@ -50,7 +50,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation import (  # noqa: E402
     pesq_native,
 )
-from synth_dataset import speechlike  # noqa: E402  (formant synthesizer)
+from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.augmentation import (  # noqa: E402
+    AudioAugmenter,
+)
+from synth_dataset import babble_noise, hum_noise, speechlike  # noqa: E402
 
 SR = 16000
 
@@ -61,6 +64,15 @@ SR = 16000
 ANCHORS_WHITE = {0: 1.25, 5: 1.45, 10: 1.75, 15: 2.05, 20: 2.45,
                  30: 3.25, 40: 4.0}
 ANCHORS_PINK = {9: 1.97}  # speech-shaped ~ VoiceBank-DEMAND mixed noise
+# Babble anchors are APPROXIMATE: published wb-PESQ babble-noise curves
+# (NOIZEUS / enhancement literature, e.g. Loizou Table 11 babble rows and
+# the Hu-Loizou corpus releases) sit slightly above the white-noise curve
+# at equal SNR — used here as a ±0.3-MOS sanity band, not a fit target.
+ANCHORS_BABBLE_APPROX = {5: 1.6, 10: 1.9, 15: 2.2}
+# Families without trustworthy published anchors (mains hum, comb-filter
+# reverb, hard clipping) are checked for MONOTONICITY — the score must
+# fall as the degradation strengthens — and for staying on a sane
+# mid-scale (1.0-4.5), which is what the calibrated gain controls.
 
 
 def _mix_at_snr(clean: np.ndarray, noise: np.ndarray, snr_db: float) -> np.ndarray:
@@ -84,30 +96,78 @@ def _mnru(clean: np.ndarray, q_db: float, rng: np.random.Generator) -> np.ndarra
     return clean * (1.0 + g * rng.standard_normal(len(clean)))
 
 
-def sweep(n_clips: int, seconds: float, d_cal: float | None = None) -> dict:
+def sweep(
+    n_clips: int,
+    seconds: float,
+    d_cal: float | None = None,
+    fit_only: bool = False,
+) -> dict:
+    """``fit_only=True`` sweeps just the anchored families (white/pink) —
+    the fit target — so the --fit grid search stays cheap; the full
+    corpus (babble/hum/reverb/clip/mnru) runs once for the report."""
     if d_cal is not None:
         pesq_native._D_CAL = d_cal
     rng = np.random.default_rng(2024)
     cleans = [speechlike(seconds, rng) for _ in range(n_clips)]
-    out: dict[str, dict[float, float]] = {"white": {}, "pink": {}, "mnru": {}}
-    for snr in sorted(set(list(ANCHORS_WHITE) + list(ANCHORS_PINK))):
-        w_scores, p_scores = [], []
+    out: dict[str, dict[float, float]] = {
+        "white": {}, "pink": {}, "babble": {}, "hum": {},
+        "reverb": {}, "clip": {}, "mnru": {},
+    }
+    babble_snrs = [] if fit_only else sorted(ANCHORS_BABBLE_APPROX)
+    hum_snrs = () if fit_only else (0, 5, 15, 25)
+    all_snrs = sorted(
+        set(list(ANCHORS_WHITE) + list(ANCHORS_PINK) + babble_snrs)
+        | set(hum_snrs)
+    )
+    for snr in all_snrs:
+        scores: dict[str, list[float]] = {
+            "white": [], "pink": [], "babble": [], "hum": []
+        }
         for ci, c in enumerate(cleans):
             nz_rng = np.random.default_rng(1000 + ci)
             white = nz_rng.standard_normal(len(c))
             pink = _pink(len(c), nz_rng)
             if snr in ANCHORS_WHITE:
-                w_scores.append(
+                scores["white"].append(
                     pesq_native.pesq_p862(c, _mix_at_snr(c, white, snr), SR, "wb")
                 )
             if snr in ANCHORS_PINK:
-                p_scores.append(
+                scores["pink"].append(
                     pesq_native.pesq_p862(c, _mix_at_snr(c, pink, snr), SR, "wb")
                 )
-        if w_scores:
-            out["white"][snr] = float(np.mean(w_scores))
-        if p_scores:
-            out["pink"][snr] = float(np.mean(p_scores))
+            if snr in babble_snrs:
+                bab = babble_noise(len(c), np.random.default_rng(500 + ci))
+                scores["babble"].append(
+                    pesq_native.pesq_p862(c, _mix_at_snr(c, bab, snr), SR, "wb")
+                )
+            if snr in hum_snrs:
+                hum = hum_noise(len(c), np.random.default_rng(600 + ci))
+                scores["hum"].append(
+                    pesq_native.pesq_p862(c, _mix_at_snr(c, hum, snr), SR, "wb")
+                )
+        for fam, vals in scores.items():
+            if vals:
+                out[fam][snr] = float(np.mean(vals))
+    if fit_only:
+        return out
+    # comb-filter reverb (the repo's own AudioAugmenter.add_reverb):
+    # stronger decay = worse score expected
+    aug = AudioAugmenter(SR)
+    for decay in (0.1, 0.3, 0.5, 0.7):
+        s = [
+            pesq_native.pesq_p862(
+                c, aug.add_reverb(c.astype(np.float32), 50.0, decay), SR, "wb"
+            )
+            for c in cleans
+        ]
+        out["reverb"][decay] = float(np.mean(s))
+    # hard clipping at a fraction of peak: lower threshold = worse
+    for thresh in (0.9, 0.5, 0.3, 0.1):
+        s = []
+        for c in cleans:
+            lim = thresh * float(np.max(np.abs(c)))
+            s.append(pesq_native.pesq_p862(c, np.clip(c, -lim, lim), SR, "wb"))
+        out["clip"][thresh] = float(np.mean(s))
     for q in (10, 15, 20, 25, 35):
         s = [
             pesq_native.pesq_p862(
@@ -119,6 +179,31 @@ def sweep(n_clips: int, seconds: float, d_cal: float | None = None) -> dict:
     return out
 
 
+def monotonicity(out: dict) -> dict:
+    """Degradation families without published anchors must at least rank
+    correctly: score falls as the degradation strengthens."""
+    def non_decreasing(vals):
+        return bool(all(b >= a - 0.05 for a, b in zip(vals, vals[1:])))
+
+    checks = {}
+    # rising SNR -> rising MOS
+    for fam in ("white", "pink", "babble", "hum"):
+        checks[fam] = non_decreasing([out[fam][x] for x in sorted(out[fam])])
+    # decay ascending = strengthening reverb -> falling MOS
+    checks["reverb"] = non_decreasing(
+        [out["reverb"][x] for x in sorted(out["reverb"], reverse=True)]
+    )
+    # clip threshold ascending = weakening -> rising MOS
+    checks["clip"] = non_decreasing(
+        [out["clip"][x] for x in sorted(out["clip"])]
+    )
+    # MNRU Q ascending = weakening -> rising MOS
+    checks["mnru"] = non_decreasing(
+        [out["mnru"][x] for x in sorted(out["mnru"])]
+    )
+    return checks
+
+
 def residuals(scores: dict) -> list[tuple[str, float, float, float]]:
     rows = []
     for snr, tgt in ANCHORS_WHITE.items():
@@ -126,6 +211,27 @@ def residuals(scores: dict) -> list[tuple[str, float, float, float]]:
     for snr, tgt in ANCHORS_PINK.items():
         rows.append(("pink", float(snr), scores["pink"][snr], tgt))
     return rows
+
+
+def babble_residuals(scores: dict) -> list[tuple[str, float, float, float]]:
+    """Reported separately: the babble anchors are approximate, so they
+    sanity-check the fit rather than drive it."""
+    return [
+        ("babble", float(snr), scores["babble"][snr], tgt)
+        for snr, tgt in ANCHORS_BABBLE_APPROX.items()
+    ]
+
+
+def per_family_stats(rows) -> dict:
+    fams: dict[str, list[float]] = {}
+    for fam, _, got, tgt in rows:
+        fams.setdefault(fam, []).append(abs(got - tgt))
+    return {
+        fam: {"mean_abs_residual": float(np.mean(v)),
+              "max_abs_residual": float(np.max(v)),
+              "n": len(v)}
+        for fam, v in fams.items()
+    }
 
 
 def main() -> int:
@@ -138,7 +244,7 @@ def main() -> int:
     if args.fit:
         best = None
         for d in np.arange(3.0, 14.01, 0.5):
-            sc = sweep(args.clips, args.seconds, d_cal=float(d))
+            sc = sweep(args.clips, args.seconds, d_cal=float(d), fit_only=True)
             rows = residuals(sc)
             mae = float(np.mean([abs(got - tgt) for _, _, got, tgt in rows]))
             print(f"_D_CAL={d:5.2f}  MAE={mae:.3f}  "
@@ -153,24 +259,33 @@ def main() -> int:
 
     sc = sweep(args.clips, args.seconds, d_cal=d_cal)
     rows = residuals(sc)
+    brows = babble_residuals(sc)
     mae = float(np.mean([abs(got - tgt) for _, _, got, tgt in rows]))
     mx = float(np.max([abs(got - tgt) for _, _, got, tgt in rows]))
+    mono = monotonicity(sc)
     print(f"\n_D_CAL = {d_cal}")
-    for m, s, got, tgt in rows:
-        print(f"  {m:>5s} @ {s:4.1f} dB SNR: native {got:.2f}  "
-              f"published ~{tgt:.2f}  residual {got - tgt:+.2f}")
-    print("  MNRU Q sweep (monotonicity check): "
-          + "  ".join(f"Q{q}:{v:.2f}" for q, v in sc["mnru"].items()))
-    print(f"  MAE {mae:.3f}, max |residual| {mx:.3f}")
+    for m, s, got, tgt in rows + brows:
+        approx = " (approx anchor)" if m == "babble" else ""
+        print(f"  {m:>6s} @ {s:4.1f} dB SNR: native {got:.2f}  "
+              f"published ~{tgt:.2f}  residual {got - tgt:+.2f}{approx}")
+    for fam, lbl in (("hum", "SNR"), ("reverb", "decay"),
+                     ("clip", "clip@"), ("mnru", "Q")):
+        print(f"  {fam} sweep: "
+              + "  ".join(f"{lbl}{k:g}:{v:.2f}" for k, v in sc[fam].items())
+              + f"  monotonic={mono[fam]}")
+    print(f"  anchored MAE {mae:.3f}, max |residual| {mx:.3f}")
 
     res = {
         "d_cal": d_cal,
         "clips": args.clips,
         "seconds": args.seconds,
         "scores": sc,
-        "anchors": {"white": ANCHORS_WHITE, "pink": ANCHORS_PINK},
+        "anchors": {"white": ANCHORS_WHITE, "pink": ANCHORS_PINK,
+                    "babble_approx": ANCHORS_BABBLE_APPROX},
         "mae": mae,
         "max_abs_residual": mx,
+        "per_family_residuals": per_family_stats(rows + brows),
+        "monotonicity": mono,
     }
     out = Path(__file__).parent / "results" / "pesq_calibration.json"
     out.write_text(json.dumps(res, indent=1))

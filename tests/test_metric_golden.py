@@ -120,21 +120,25 @@ def test_pesq_mos_lqo_mapping_values():
 # ---------------------------------------------------------------------------
 
 # Pinned (clean, degraded) -> wb MOS-LQO triples at the calibrated
-# _D_CAL = 10.0 (benchmarks/calibrate_pesq.py: fitted against published
-# wb-PESQ MOS-vs-SNR anchors, MAE 0.07 / max 0.20 MOS). Deterministic
-# signals, so any silent drift of the perceptual model or its calibration
-# fails here. Re-pin ONLY together with a re-run of the calibration sweep.
+# _D_CAL = 11.0 (benchmarks/calibrate_pesq.py round-4 fit over the
+# broadened corpus: anchored MAE 0.054 / max 0.12 MOS; babble/hum/
+# reverb/clip monotone). Deterministic signals, so any silent drift of
+# the perceptual model or its calibration fails here. Re-pin ONLY
+# together with a re-run of the calibration sweep.
 _PESQ_PINS = {
-    "white_snr0": 1.3829,
-    "white_snr5": 1.6212,
-    "white_snr10": 1.8823,
-    "white_snr20": 2.4578,
-    "white_snr30": 3.3221,
-    "pink_snr9": 2.0687,
-    "mnru_q15": 2.4886,
-    "mnru_q25": 3.1233,
-    "lowpass_2k": 4.6080,
-    "clip_0.2": 3.6605,
+    "white_snr0": 1.2997,
+    "white_snr5": 1.5178,
+    "white_snr10": 1.7715,
+    "white_snr20": 2.3591,
+    "white_snr30": 3.2174,
+    "pink_snr9": 1.9576,
+    "mnru_q15": 2.3765,
+    "mnru_q25": 2.9897,
+    "lowpass_2k": 4.6042,
+    "clip_0.2": 3.5247,
+    "hum_snr5": 1.6882,
+    "babble_snr10": 2.1248,
+    "reverb_0.4": 3.0856,
 }
 
 
@@ -190,6 +194,29 @@ def _pesq_fixture_pairs():
     out.append(("lowpass_2k", c, lfilter(b, a, c)))
     c = _voice(2.0, 9)
     out.append(("clip_0.2", c, np.clip(c, -0.2, 0.2)))
+    # round-4 corpus extension: the repo's own noise families + reverb
+    # (benchmarks/calibrate_pesq.py sweeps them; these pins freeze one
+    # deterministic point per family)
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from synth_dataset import babble_noise, hum_noise
+
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.augmentation import (  # noqa: E501
+        AudioAugmenter,
+    )
+
+    c = _voice(2.0, 10)
+    hum = hum_noise(len(c), np.random.default_rng(300))
+    out.append(("hum_snr5", c, _mix_snr(c, hum.astype(np.float64), 5.0)))
+    c = _voice(2.0, 11)
+    bab = babble_noise(len(c), np.random.default_rng(301))
+    out.append(("babble_snr10", c, _mix_snr(c, bab.astype(np.float64), 10.0)))
+    c = _voice(2.0, 12)
+    out.append((
+        "reverb_0.4",
+        c,
+        AudioAugmenter(SR).add_reverb(c.astype(np.float32), 50.0, 0.4)
+        .astype(np.float64),
+    ))
     return out
 
 

@@ -258,9 +258,12 @@ def test_native_pesq_properties(sine_wav):
         3.0 * clean, 3.0 * (clean + 0.1 * rng.standard_normal(len(clean))), sr
     )
     assert s1 == pytest.approx(s2, abs=0.25)
-    # global-delay robustness (crude time alignment)
+    # global-delay robustness (crude time alignment): a 20 ms shift must
+    # stay near the ceiling (bound loosened 4.0 -> 3.9 with the round-4
+    # _D_CAL=11 recalibration, which scores every residual disturbance
+    # slightly lower; the property is "near-ceiling", not an exact value)
     shifted = np.concatenate([np.zeros(320, np.float32), clean])[: len(clean)]
-    assert pesq_p862(clean, shifted, sr, "wb") > 4.0
+    assert pesq_p862(clean, shifted, sr, "wb") > 3.9
 
 
 def test_pesq_score_falls_back_to_native(sine_wav):
