@@ -81,6 +81,7 @@ class HybridViT(nn.Module):
         mask: Optional[Array] = None,
         train: bool = False,
         return_attentions: bool = False,
+        stage_out: Optional[str] = None,
     ):
         """Enhance a normalized magnitude spectrogram.
 
@@ -89,6 +90,12 @@ class HybridViT(nn.Module):
           mask: optional ``[B, N]`` patch-validity mask for padded frames.
           train: enables BN batch stats, dropout and stochastic depth.
           return_attentions: also return per-layer attention maps.
+          stage_out: early-return point for per-stage profiling
+            (benchmarks/bench_stages.py): ``"encoder"`` (after the conv
+            encoder), ``"transformer"`` (after tokens -> feature map),
+            ``"pre_resize"`` (after the decoder, before the final bilinear
+            resize). None = full forward. Compiled separately per stage;
+            never used in the training/serving paths.
 
         Returns:
           ``[B, F, T, C_out]`` enhanced spectrogram in [-1, 1].
@@ -116,6 +123,8 @@ class HybridViT(nn.Module):
                 name=f"encoder_{i}",
             )(x, train=train)
             skips.append(x)
+        if stage_out == "encoder":
+            return x
 
         # ===== 2. Patchify =====
         patches, spatial = PatchEmbedding(
@@ -201,6 +210,8 @@ class HybridViT(nn.Module):
         )(tokens)
         h, w = spatial
         x = feat.reshape(feat.shape[0], h, w, feat.shape[-1])
+        if stage_out == "transformer":
+            return x
 
         # ===== 6. CNN decoder with U-Net skips =====
         # skip i (deep-to-shallow) projected by 1x1 conv then bilinear-resized
@@ -244,6 +255,9 @@ class HybridViT(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 name=f"decoder_{i}",
             )(x, train=train)
+
+        if stage_out == "pre_resize":
+            return x
 
         # ===== 7. Resize back to input [F, T] =====
         if x.shape[1:3] != (in_f, in_t):
