@@ -29,6 +29,13 @@ class FeaturizedBatch(NamedTuple):
     noisy_max: Array  # [B]
     clean_min: Array  # [B]
     clean_max: Array  # [B]
+    # mask-head training pair (model.output_mode: "mask"): both raw
+    # magnitudes on a SHARED per-utterance scale (noisy max), so
+    # pred = mask * noisy_over_max compares directly against
+    # clean_over_max. Un-augmented: the mask multiplies the physical
+    # mixture, not the SpecAugment-ed model input.
+    noisy_over_max: Array  # [B, F, T] noisy_mag / noisy_max
+    clean_over_max: Array  # [B, F, T] clean_mag / noisy_max
 
 
 def minmax_normalize(
@@ -83,6 +90,7 @@ def featurize_batch(
     if augment_key is not None:
         noisy_n = spec_augment_batch(augment_key, noisy_n, augment_config)
 
+    inv_nmax = 1.0 / jnp.maximum(n_max, 1e-8)[:, None, None]
     return FeaturizedBatch(
         noisy_spec=noisy_n[..., None],
         clean_spec=clean_n[..., None],
@@ -92,4 +100,6 @@ def featurize_batch(
         noisy_max=n_max,
         clean_min=c_min,
         clean_max=c_max,
+        noisy_over_max=noisy_mag * inv_nmax,
+        clean_over_max=clean_mag * inv_nmax,
     )

@@ -115,6 +115,7 @@ def make_step_fns(
     augment: bool = True,
     use_attention_mask: bool = False,
     skip_nonfinite: bool = True,
+    output_mode: str = "magnitude",
     mesh=None,
 ):
     """Build jitted (train_step, eval_step) closed over static config.
@@ -125,7 +126,26 @@ def make_step_fns(
     lets padded frames attend (SURVEY.md §7.8). Combine with
     ``model.transformer.pos_embed: factored_2d`` for fully bucket-
     consistent training (PERF.md #14).
+
+    ``output_mode`` (config key ``model.output_mode``):
+      * ``"magnitude"`` (default, reference parity): the model output IS
+        the normalized clean-magnitude estimate (reference:
+        models/hybrid_vit.py:396-469). Its fidelity is capped by the
+        decoder's 64-row frequency bottleneck + bilinear resize —
+        measured +3.2 dB SI-SDR oracle on the r4 synthetic test set
+        (benchmarks/results/oracle_r4.json).
+      * ``"mask"`` (framework extension): the Tanh output maps to a
+        [0,1] spectral mask ((out+1)/2) that MULTIPLIES the full-
+        resolution noisy magnitude; the resize bottleneck then blurs
+        only the mask, not the spectrum — measured +8.9 dB oracle on
+        the same set (oracle_mask_r4.json). Loss compares
+        mask*noisy_mag against clean_mag on the shared noisy-max scale.
     """
+    if output_mode not in ("magnitude", "mask"):
+        raise ValueError(
+            f"model.output_mode must be 'magnitude' or 'mask', got {output_mode!r}"
+        )
+    mask_mode = output_mode == "mask"
 
     def _patch_mask(feats, batch):
         from ..models.components import patch_validity_mask
@@ -150,6 +170,14 @@ def make_step_fns(
             stft_method=stft_method,
         )
 
+    def _pred_target(out, feats):
+        """Model output -> (prediction, target) for the loss."""
+        if not mask_mode:
+            return out, feats.clean_spec
+        m = (out[..., 0].astype(jnp.float32) + 1.0) * 0.5  # Tanh -> [0,1]
+        pred = m * feats.noisy_over_max
+        return pred[..., None], feats.clean_over_max[..., None]
+
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array):
         step_rng = jax.random.fold_in(rng, state.step)
         aug_key, drop_key = jax.random.split(step_rng)
@@ -167,9 +195,10 @@ def make_step_fns(
                 rngs={"dropout": drop_key},
                 mutable=["batch_stats"],
             )
+            pred, target = _pred_target(out, feats)
             total, comps = combined_loss(
-                out,
-                feats.clean_spec,
+                pred,
+                target,
                 loss_cfg,
                 frame_mask=feats.frame_mask,
                 sample_valid=valid,
@@ -227,9 +256,10 @@ def make_step_fns(
             mask=_patch_mask(feats, batch) if use_attention_mask else None,
             train=False,
         )
+        pred, target = _pred_target(out, feats)
         total, comps = combined_loss(
-            out,
-            feats.clean_spec,
+            pred,
+            target,
             loss_cfg,
             frame_mask=feats.frame_mask,
             sample_valid=batch["valid"],
@@ -365,6 +395,7 @@ class Trainer:
             augment=aug.get("enabled", True),
             use_attention_mask=tc.get("mask_padding", False),
             skip_nonfinite=tc.get("skip_nonfinite_updates", True),
+            output_mode=config.get("model", {}).get("output_mode", "magnitude"),
             mesh=self.mesh,
         )
         self.stopwatch = Stopwatch()

@@ -233,6 +233,86 @@ def test_blend_do_no_harm_knob(tiny_ckpt):
         AudioEnhancer(model, variables, cfg, blend=1.5)
 
 
+def test_mask_output_mode(tiny_ckpt):
+    """model.output_mode='mask': the Tanh output becomes a [0,1] spectral
+    mask on the full-resolution noisy magnitude. Properties pinned: the
+    masked output can only ATTENUATE (energy <= noisy energy + STFT
+    round-trip slack) even under random weights — magnitude mode has no
+    such bound — and the two modes produce different outputs."""
+    caller_cfg = {"model": dict(TINY_MODEL_CFG),
+                  "audio": {"n_fft": 512, "hop_length": 128,
+                            "win_length": 512, "sample_rate": SR}}
+    model, variables, cfg = load_model_for_inference(tiny_ckpt, caller_cfg)
+    rng = np.random.default_rng(1)
+    t = np.arange(int(SR * 0.4)) / SR
+    noisy = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+
+    cfg_mask = dict(cfg, model=dict(cfg["model"], output_mode="mask"))
+    out_mask = AudioEnhancer(model, variables, cfg_mask).enhance(noisy)
+    out_mag = AudioEnhancer(model, variables, cfg).enhance(noisy)
+    assert np.all(np.isfinite(out_mask))
+    e_noisy = float(np.sum(noisy**2))
+    assert float(np.sum(out_mask**2)) <= 1.05 * e_noisy, (
+        "a [0,1] mask cannot amplify the input"
+    )
+    assert np.linalg.norm(out_mask - out_mag) / np.linalg.norm(noisy) > 0.01
+
+    with pytest.raises(ValueError):
+        AudioEnhancer(model, variables,
+                      dict(cfg, model=dict(cfg["model"], output_mode="nope")))
+
+    # trainer wiring: mask-mode step runs and its loss differs from
+    # magnitude mode on identical weights/batch
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.trainer import (
+        TrainState, make_step_fns,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training import (
+        chain_with_clip, create_optimizer,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.training.losses import (
+        LossConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.augmentation import (
+        SpecAugmentConfig,
+    )
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.stft import (
+        STFTConfig,
+    )
+    import jax
+
+    opt = chain_with_clip(create_optimizer({}), 1.0)
+
+    def fresh_state():  # train_step donates its state argument
+        host = jax.device_get(variables)
+        return TrainState(
+            params=jax.tree_util.tree_map(jnp.asarray, host["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.asarray, host.get("batch_stats", {})
+            ),
+            opt_state=opt.init(host["params"]),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    wav_len = 63 * 128
+    batch = {
+        "noisy_audio": np.tile(noisy[:wav_len], (2, 1)).astype(np.float32),
+        "clean_audio": np.tile(noisy[:wav_len], (2, 1)).astype(np.float32),
+        "length": np.full((2,), wav_len, np.int32),
+        "valid": np.ones((2,), bool),
+    }
+    losses = {}
+    for mode in ("magnitude", "mask"):
+        step_fn, _ = make_step_fns(
+            model, opt, LossConfig(), STFTConfig(), SpecAugmentConfig(),
+            augment=False, output_mode=mode,
+        )
+        _, metrics = step_fn(fresh_state(), batch, jax.random.PRNGKey(0))
+        losses[mode] = float(metrics["total"])
+        assert np.isfinite(losses[mode])
+    assert losses["mask"] != losses["magnitude"]
+
+
 def test_corrupt_meta_json_falls_back(tiny_ckpt, tmp_path):
     broken = tmp_path / "broken"
     broken.mkdir()
