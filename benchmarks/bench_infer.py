@@ -36,6 +36,12 @@ def main() -> int:
                     choices=["auto", "pallas", "xla"])
     ap.add_argument("--device", default=None, choices=["tpu", "cpu"])
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--fold-bn", action="store_true",
+                    help="fold eval-mode BatchNorm into conv weights "
+                         "(models/fold.py) before timing")
+    ap.add_argument("--dft-precision", default="highest",
+                    choices=["highest", "high", "default"],
+                    help="iDFT matmul precision (PERF.md #9 serving knob)")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +89,18 @@ def main() -> int:
     )
     print(f"model: {count_parameters(variables)['total']/1e6:.2f}M params  "
           f"dtype={dtype.__name__}  batch={b} x {wav_len/sr:.2f}s")
+    if args.fold_bn:
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+            fold_batchnorm,
+        )
+
+        model, variables = fold_batchnorm(model, variables)
+        print("BatchNorm folded into conv weights")
+    dft_prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[args.dft_precision]
 
     key0 = jax.random.PRNGKey(0)
 
@@ -98,7 +116,8 @@ def main() -> int:
         mm = jnp.max(mag, axis=(-2, -1), keepdims=True)
         mm = jnp.where(mm > 1e-8, mm, 1.0)
         out = model.apply(variables, (mag / mm)[..., None], train=False)[..., 0]
-        y = reconstruct(out * mm, phase, cfg, length=wav_len, method="auto")
+        y = reconstruct(out * mm, phase, cfg, length=wav_len, method="auto",
+                        precision=dft_prec)
         # chain: next counter depends on this step's output
         return counter + 1 + (jnp.abs(y).max() * 0).astype(jnp.int32)
 

@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard enhancement batches over this many devices "
                         "('data' mesh axis; params replicated)")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold eval-mode BatchNorm into conv weights "
+                        "(fp32-identical; measured knob, PERF.md r4)")
+    p.add_argument("--dft-precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="iDFT matmul precision; 'high' trades ~1.5 PCM16 "
+                        "LSB output error for a cheaper reconstruction")
     p.add_argument("--blend", default=None,
                    help="do-no-harm output mix: float in [0,1] (fraction "
                         "of enhanced magnitude; 1.0 = pure model output) "
@@ -85,6 +92,8 @@ def main(argv=None) -> int:
         mesh=mesh_for_data_parallel(args.data_parallel),
         mask_padding=args.mask_padding,
         blend=_parse_blend(args.blend),
+        fold_bn=args.fold_bn,
+        dft_precision=args.dft_precision,
     )
     sr = enhancer.sample_rate
 

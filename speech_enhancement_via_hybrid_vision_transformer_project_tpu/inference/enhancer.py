@@ -49,6 +49,8 @@ class AudioEnhancer:
         blend_min: float = 0.3,
         blend_pivot_db: float = 18.0,
         blend_width_db: float = 4.0,
+        fold_bn: bool = False,
+        dft_precision: str = "highest",
     ):
         """``mask_padding=True`` excludes bucket-padding patches from
         attention via the model's key-padding mask (the normalization
@@ -69,6 +71,12 @@ class AudioEnhancer:
         the smaller bucket's boundary; PERF.md #14) — recommended for
         from-scratch training.
         """
+        if fold_bn:
+            # absorb eval-mode BatchNorm into the conv kernels/biases
+            # (models/fold.py; fp32-identical, measured knob — PERF.md r4)
+            from ..models.fold import fold_batchnorm
+
+            model, variables = fold_batchnorm(model, variables)
         self.model = model
         self.variables = variables
         self.config = config or {}
@@ -137,6 +145,18 @@ class AudioEnhancer:
         self.blend_min = float(blend_min)
         self.blend_pivot_db = float(blend_pivot_db)
         self.blend_width_db = float(blend_width_db)
+        # iDFT matmul precision (PERF.md #9): "highest" = fp32-exact
+        # (default, parity); "high" trades ~4.5e-5 output error (~1.5
+        # PCM16 LSB) for a cheaper reconstruction matmul — serving knob.
+        if dft_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                f"dft_precision must be highest|high|default, got {dft_precision!r}"
+            )
+        self.dft_precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[dft_precision]
         self._core_cache: dict = {}
 
     def _patch_mask(self, mag_shape, lengths: Array) -> Array:
@@ -211,7 +231,8 @@ class AudioEnhancer:
             # noisy-phase reuse; polar recombination fuses into the Pallas
             # iSTFT kernel on TPU (reference: enhancer.py:117-129)
             y = reconstruct(
-                enhanced_mag, phase, cfg, length=wav_len, method=method
+                enhanced_mag, phase, cfg, length=wav_len, method=method,
+                precision=self.dft_precision,
             )
             y = y * scale
             if io16:

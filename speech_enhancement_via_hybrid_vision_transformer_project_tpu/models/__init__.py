@@ -21,12 +21,14 @@ from .components import (  # noqa: F401
     patch_validity_mask,
     TransposeConvBlock,
 )
+from .fold import fold_batchnorm  # noqa: F401
 from .hybrid_vit import HybridViT, count_parameters, create_hybrid_vit  # noqa: F401
 
 __all__ = [
     "HybridViT",
     "create_hybrid_vit",
     "count_parameters",
+    "fold_batchnorm",
     "ConvBlock",
     "TransposeConvBlock",
     "FeedForward",

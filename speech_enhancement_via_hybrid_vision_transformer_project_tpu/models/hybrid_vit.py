@@ -73,6 +73,12 @@ class HybridViT(nn.Module):
     remat: bool = False  # rematerialize transformer blocks (memory << FLOPs)
     compute_dtype: Any = jnp.float32  # bf16 for mixed-precision training
     bn_axis_name: Optional[str] = None
+    # inference-only: conv blocks built WITHOUT BatchNorm (bias instead);
+    # use with variables produced by models.fold.fold_batchnorm, which
+    # absorbs the trained BN affine+stats into the conv kernels/biases.
+    # Numerically identical to the BN model in eval mode (fp32-tested);
+    # never used for training (BN stats would no longer update).
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -117,7 +123,7 @@ class HybridViT(nn.Module):
                 kernel_size=k,
                 pool_size=p if p > 1 else None,
                 activation="relu",
-                use_batchnorm=True,
+                use_batchnorm=not self.fold_bn,
                 dropout=self.dropout,
                 bn_axis_name=self.bn_axis_name,
                 name=f"encoder_{i}",
@@ -249,7 +255,11 @@ class HybridViT(nn.Module):
                 kernel_size=k,
                 upsample_factor=up if up > 1 else None,
                 activation="relu",
-                use_batchnorm=True,
+                # final layer: use_batchnorm=True never creates BN (it's
+                # skipped for final_layer) but keeps the conv bias OFF —
+                # the reference's no-bias final-conv quirk — so folding
+                # must not touch it
+                use_batchnorm=is_final or not self.fold_bn,
                 dropout=self.dropout if not is_final else 0.0,
                 final_layer=is_final,
                 bn_axis_name=self.bn_axis_name,

@@ -233,6 +233,32 @@ def test_blend_do_no_harm_knob(tiny_ckpt):
         AudioEnhancer(model, variables, cfg, blend=1.5)
 
 
+def test_fold_bn_and_dft_precision(tiny_ckpt):
+    """BN folding must be numerically invisible end-to-end, and the
+    'high' iDFT precision knob must stay within ~PCM16-LSB error."""
+    caller_cfg = {"model": TINY_MODEL_CFG,
+                  "audio": {"n_fft": 512, "hop_length": 128,
+                            "win_length": 512, "sample_rate": SR}}
+    model, variables, cfg = load_model_for_inference(tiny_ckpt, caller_cfg)
+    rng = np.random.default_rng(2)
+    t = np.arange(int(SR * 0.4)) / SR
+    noisy = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+
+    base = AudioEnhancer(model, variables, cfg).enhance(noisy)
+    folded = AudioEnhancer(model, variables, cfg, fold_bn=True).enhance(noisy)
+    assert np.max(np.abs(folded - base)) < 1e-4
+
+    hi = AudioEnhancer(
+        model, variables, cfg, dft_precision="high"
+    ).enhance(noisy)
+    # ~1.5 PCM16 LSB bound (PERF.md #9); CPU backend may be exact
+    assert np.max(np.abs(hi - base)) < 5e-4
+
+    with pytest.raises(ValueError):
+        AudioEnhancer(model, variables, cfg, dft_precision="bf16")
+
+
 def test_mask_output_mode(tiny_ckpt):
     """model.output_mode='mask': the Tanh output becomes a [0,1] spectral
     mask on the full-resolution noisy magnitude. Properties pinned: the
