@@ -168,6 +168,30 @@ def test_skipped_step_metrics_masked(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_aggregate_by_input_snr():
+    from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation.evaluator import (
+        Evaluator,
+    )
+
+    per_file = {
+        "a.wav": {"noisy_snr": -2.0, "si_sdr_improvement": 5.0,
+                  "lsd_improvement": 1.0},
+        "b.wav": {"noisy_snr": 12.0, "si_sdr_improvement": -3.0,
+                  "lsd_improvement": -0.5},
+        "c.wav": {"noisy_snr": 13.0, "si_sdr_improvement": -1.0,
+                  "lsd_improvement": 0.5},
+        "d.wav": {"noisy_snr": 99.0, "si_sdr_improvement": 0.0},  # open bin
+        "e.wav": {"noisy_snr": float("nan"), "si_sdr_improvement": 9.9},
+    }
+    out = Evaluator.aggregate_by_input_snr(per_file)
+    assert out["[-5,0)dB"]["si_sdr_improvement"] == 5.0
+    assert out["[-5,0)dB"]["count"] == 1
+    assert out["[10,15)dB"]["si_sdr_improvement"] == pytest.approx(-2.0)
+    assert out["[10,15)dB"]["lsd_improvement"] == pytest.approx(0.0)
+    assert out[">=15dB"]["count"] == 1
+    assert sum(r["count"] for r in out.values()) == 4  # nan row excluded
+
+
 @pytest.fixture(scope="module")
 def tiny_ckpt(tmp_path_factory):
     """Weights-only checkpoint whose meta.json carries a DIFFERENT audio
