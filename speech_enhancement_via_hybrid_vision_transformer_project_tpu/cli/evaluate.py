@@ -103,7 +103,9 @@ def main(argv=None) -> int:
         exact=args.exact,
     )
     print(Evaluator.format_report(results))
-    Evaluator.save_results(results["summary"], args.output)
+    # keep per-file rows in the JSON: distributional claims (per-SNR
+    # bins, do-no-harm) are only auditable from per-file data
+    Evaluator.save_results(results, args.output)
     print(f"results written to {args.output}")
     return 0
 
