@@ -104,6 +104,13 @@ def main():
         "--out", default=str(Path(__file__).parent / "tiny_denoiser")
     )
     ap.add_argument(
+        "--mask-head",
+        action="store_true",
+        help="train with model.output_mode='mask' semantics: the Tanh "
+             "output is a [0,1] mask on the full-resolution noisy "
+             "magnitude (PERF.md r4; fixture saved with that config)",
+    )
+    ap.add_argument(
         "--log-compression",
         action="store_true",
         help="train on log-compressed magnitudes (loss-recipe experiments)",
@@ -164,6 +171,16 @@ def main():
                 rngs={"dropout": jax.random.PRNGKey(0)},
                 mutable=["batch_stats"],
             )
+            if args.mask_head:
+                # mask-head contract (training/trainer.py::_pred_target):
+                # pred = (tanh+1)/2 * noisy_mag/noisy_max vs clean_mag/noisy_max
+                re_n, im_n = stft(noisy, CFG, method="matmul")
+                mag_n, _ = magphase(re_n, im_n)
+                re_c, im_c = stft(clean, CFG, method="matmul")
+                mag_c, _ = magphase(re_c, im_c)
+                nmax = jnp.maximum(mag_n.max(axis=(-2, -1), keepdims=True), 1e-8)
+                pred = (out[..., 0] + 1.0) * 0.5 * (mag_n / nmax)
+                return err(pred, mag_c / nmax).mean(), upd["batch_stats"]
             return err(out[..., 0], normalize(clean)).mean(), upd["batch_stats"]
 
         (loss, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -185,7 +202,10 @@ def main():
 
     # Held-out check: the fixture must actually denoise.
     variables = {"params": params, "batch_stats": bstats}
-    enh = AudioEnhancer(model, variables, {}, buckets=(64, 128, 256), mask_padding=True)
+    fx_cfg = (
+        {"model": {"output_mode": "mask"}} if args.mask_head else {}
+    )
+    enh = AudioEnhancer(model, variables, fx_cfg, buckets=(64, 128, 256), mask_padding=True)
     from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation.metrics import (
         log_spectral_distance,
     )
@@ -207,7 +227,9 @@ def main():
     print(f"held-out SI-SDR improvement: {gains.mean():+.2f} dB  (per-clip {np.round(gains,2)})")
     print(f"held-out LSD improvement (noisy-enhanced, +=better): {lsd_deltas.mean():+.2f}")
 
-    save_model_weights(args.out, variables, config={"tiny": TINY, "heldout_si_sdr_gain_db": float(gains.mean())})
+    save_cfg = {"tiny": TINY, "heldout_si_sdr_gain_db": float(gains.mean())}
+    save_cfg.update(fx_cfg)
+    save_model_weights(args.out, variables, config=save_cfg)
     print(f"saved fixture to {args.out}")
     if gains.mean() <= 0:
         print("WARNING: fixture does not denoise — do not commit", file=sys.stderr)
