@@ -40,6 +40,10 @@ def main() -> int:
                          "(attn_dropout>0 forces the explicit-weights path)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize transformer blocks in backward")
+    ap.add_argument("--output-mode", default="magnitude",
+                    choices=["magnitude", "mask"],
+                    help="train-step head semantics (mask = the r4 "
+                         "recommended quality recipe)")
     ap.add_argument("--prng", default=None,
                     choices=["threefry2x32", "rbg", "unsafe_rbg"],
                     help="PRNG impl for dropout/augment mask generation")
@@ -135,7 +139,8 @@ def main() -> int:
         step=jnp.asarray(0, jnp.int32),
     )
     train_step, _ = make_step_fns(
-        model, opt, LossConfig(), stft_cfg, SpecAugmentConfig()
+        model, opt, LossConfig(), stft_cfg, SpecAugmentConfig(),
+        output_mode=args.output_mode
     )
     key0 = jax.random.PRNGKey(0)
 

@@ -157,7 +157,11 @@ def test_evaluate_cli(cli_env, tmp_path):
     ])
     assert rc == 0
     results = json.loads(out.read_text())
-    assert results["si_sdr"]["count"] == 4
+    # r4: the JSON carries summary AND per-file rows (per-SNR bins and
+    # do-no-harm claims must be auditable from the artifact)
+    assert results["summary"]["si_sdr"]["count"] == 4
+    assert len(results["per_file"]) == 4
+    assert "_by_input_snr" in results["summary"]
 
 
 def test_enhance_cli_mask_padding(cli_env, tmp_path):
