@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "of enhanced magnitude; 1.0 = pure model output) "
                         "or 'snr_adaptive' (per-clip back-off on "
                         "already-clean input)")
+    p.add_argument("--blend-min", type=float, default=0.3,
+                   help="snr_adaptive floor: minimum enhanced fraction")
+    p.add_argument("--blend-pivot-db", type=float, default=18.0,
+                   help="snr_adaptive pivot: est-SNR (dB) of half back-off "
+                        "(fit per model with benchmarks/tune_blend.py)")
+    p.add_argument("--blend-width-db", type=float, default=4.0,
+                   help="snr_adaptive transition width (dB)")
     p.add_argument("--mask-padding", action="store_true",
                    help="exclude bucket-padding patches from attention via "
                         "the model's key-padding mask (bucketed mode only)")
@@ -92,6 +99,9 @@ def main(argv=None) -> int:
         mesh=mesh_for_data_parallel(args.data_parallel),
         mask_padding=args.mask_padding,
         blend=_parse_blend(args.blend),
+        blend_min=args.blend_min,
+        blend_pivot_db=args.blend_pivot_db,
+        blend_width_db=args.blend_width_db,
         fold_bn=args.fold_bn,
         dft_precision=args.dft_precision,
     )

@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "of enhanced magnitude; 1.0 = pure model output) "
                         "or 'snr_adaptive' (per-clip back-off on "
                         "already-clean input)")
+    p.add_argument("--blend-min", type=float, default=0.3,
+                   help="snr_adaptive floor: minimum enhanced fraction")
+    p.add_argument("--blend-pivot-db", type=float, default=18.0,
+                   help="snr_adaptive pivot: est-SNR (dB) of half back-off "
+                        "(fit per model with benchmarks/tune_blend.py)")
+    p.add_argument("--blend-width-db", type=float, default=4.0,
+                   help="snr_adaptive transition width (dB)")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile the common length buckets at startup")
     return p
@@ -84,6 +91,9 @@ def main(argv=None) -> int:
         model, variables, config, io_dtype=args.io_dtype,
         mesh=mesh_for_data_parallel(args.data_parallel),
         blend=_parse_blend(args.blend),
+        blend_min=args.blend_min,
+        blend_pivot_db=args.blend_pivot_db,
+        blend_width_db=args.blend_width_db,
         fold_bn=args.fold_bn,
         dft_precision=args.dft_precision,
     )
