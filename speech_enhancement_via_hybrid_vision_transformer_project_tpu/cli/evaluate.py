@@ -4,6 +4,8 @@ not broken here, SURVEY.md §7.1)."""
 from __future__ import annotations
 
 import argparse
+
+from ._blendargs import add_blend_args, blend_kwargs
 from pathlib import Path
 
 
@@ -30,31 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard evaluation batches over this many devices "
                         "('data' mesh axis; params replicated)")
-    p.add_argument("--blend", default=None,
-                   help="do-no-harm output mix: float in [0,1] (fraction "
-                        "of enhanced magnitude; 1.0 = pure model output) "
-                        "or 'snr_adaptive' (per-clip back-off on "
-                        "already-clean input)")
-    p.add_argument("--blend-min", type=float, default=0.3,
-                   help="snr_adaptive floor: minimum enhanced fraction")
-    p.add_argument("--blend-pivot-db", type=float, default=18.0,
-                   help="snr_adaptive pivot: est-SNR (dB) of half back-off "
-                        "(fit per model with benchmarks/tune_blend.py)")
-    p.add_argument("--blend-width-db", type=float, default=4.0,
-                   help="snr_adaptive transition width (dB)")
+    add_blend_args(p)
     p.add_argument("--mask-padding", action="store_true",
                    help="exclude bucket-padding patches from attention via "
                         "the model's key-padding mask (bucketed mode only)")
     return p
-
-
-def _parse_blend(value):
-    if value is None:
-        return 1.0
-    try:
-        return float(value)
-    except ValueError:
-        return value
 
 
 def main(argv=None) -> int:
@@ -84,10 +66,7 @@ def main(argv=None) -> int:
         model, variables, config,
         mesh=mesh_for_data_parallel(args.data_parallel),
         mask_padding=args.mask_padding,
-        blend=_parse_blend(args.blend),
-        blend_min=args.blend_min,
-        blend_pivot_db=args.blend_pivot_db,
-        blend_width_db=args.blend_width_db,
+        **blend_kwargs(args),
     )
 
     data_root = Path(

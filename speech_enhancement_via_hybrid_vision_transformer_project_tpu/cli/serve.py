@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._blendargs import add_blend_args, blend_kwargs
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Batched enhancement server")
@@ -37,30 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["highest", "high", "default"],
                    help="iDFT matmul precision; 'high' trades ~1.5 PCM16 "
                         "LSB output error for a cheaper reconstruction")
-    p.add_argument("--blend", default=None,
-                   help="do-no-harm output mix: float in [0,1] (fraction "
-                        "of enhanced magnitude; 1.0 = pure model output) "
-                        "or 'snr_adaptive' (per-clip back-off on "
-                        "already-clean input)")
-    p.add_argument("--blend-min", type=float, default=0.3,
-                   help="snr_adaptive floor: minimum enhanced fraction")
-    p.add_argument("--blend-pivot-db", type=float, default=18.0,
-                   help="snr_adaptive pivot: est-SNR (dB) of half back-off "
-                        "(fit per model with benchmarks/tune_blend.py)")
-    p.add_argument("--blend-width-db", type=float, default=4.0,
-                   help="snr_adaptive transition width (dB)")
+    add_blend_args(p)
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile the common length buckets at startup")
     return p
-
-
-def _parse_blend(value):
-    if value is None:
-        return 1.0
-    try:
-        return float(value)
-    except ValueError:
-        return value
 
 
 def main(argv=None) -> int:
@@ -90,10 +72,7 @@ def main(argv=None) -> int:
     enhancer = AudioEnhancer(
         model, variables, config, io_dtype=args.io_dtype,
         mesh=mesh_for_data_parallel(args.data_parallel),
-        blend=_parse_blend(args.blend),
-        blend_min=args.blend_min,
-        blend_pivot_db=args.blend_pivot_db,
-        blend_width_db=args.blend_width_db,
+        **blend_kwargs(args),
         fold_bn=args.fold_bn,
         dft_precision=args.dft_precision,
     )

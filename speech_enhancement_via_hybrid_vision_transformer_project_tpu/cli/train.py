@@ -169,12 +169,19 @@ def main(argv=None) -> int:
         local_bs = global_bs // n_proc
         fixed_bucket = buckets[-1]
         train_max_batches = (len(train_ds) // n_proc) // local_bs
-        # validation must NOT be dropped just because the smallest host
-        # shard can't fill a local batch (the reference validates every
-        # epoch, trainer.py:269-337): ceil instead of floor — the loader
-        # pads the short final batch to local_bs and marks pad rows
-        # valid=False, which the eval step's sample_valid masking ignores
-        val_max_batches = -(-(len(val_ds) // n_proc) // local_bs)
+        # validation must NOT drop files (the reference validates every
+        # epoch on everything, trainer.py:269-337): size the lockstep
+        # batch count to the LARGEST host shard — the loader pads short
+        # final batches to local_bs (valid=False rows) and exhausted
+        # shards emit all-invalid padding batches, so every host steps
+        # the same count and every val file is scored
+        max_shard = -(-len(val_ds) // n_proc)
+        val_max_batches = -(-max_shard // local_bs)
+        if len(val_ds) < n_proc:
+            # a host with an EMPTY shard cannot even build padding
+            # batches — drop validation loudly (Trainer then tracks
+            # best_model on the train loss)
+            val_max_batches = 0
         if train_max_batches < 1:
             raise SystemExit(
                 f"{len(train_ds)} train files cannot feed {n_proc} hosts "
@@ -200,7 +207,7 @@ def main(argv=None) -> int:
         num_workers=tc.get("num_workers", 4),
         buckets=buckets,
         fixed_bucket=fixed_bucket,
-        max_batches=val_max_batches,
+        max_batches=val_max_batches if val_max_batches else None,
     )
     if multihost and val_max_batches == 0:
         # only reachable when some host's val shard is EMPTY

@@ -261,15 +261,18 @@ class DataLoader:
         else:
             n_batches = (n + self.batch_size - 1) // self.batch_size
         if self.max_batches is not None:
-            n_batches = min(n_batches, self.max_batches)
+            # lockstep contract: EXACTLY max_batches per epoch — truncate
+            # when over, pad with all-invalid batches when under (a host
+            # whose shard is smaller than its peers' must still step)
+            n_batches = self.max_batches
         return n_batches
 
-    def _batch_indices(self) -> List[List[int]]:
+    def _batch_indices(self) -> List[Optional[List[int]]]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        batches = [
+        batches: List[Optional[List[int]]] = [
             list(idx[i : i + self.batch_size])
             for i in range(0, len(idx), self.batch_size)
         ]
@@ -277,6 +280,10 @@ class DataLoader:
             batches.pop()
         if self.max_batches is not None:
             batches = batches[: self.max_batches]
+            # None = padding batch: collated from item 0 with EVERY row
+            # marked invalid, so SPMD peers can keep stepping in lockstep
+            # while this host's shard is exhausted (multi-host uneven val)
+            batches.extend([None] * (self.max_batches - len(batches)))
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -297,6 +304,18 @@ class DataLoader:
                 for bi in range(worker_id, len(batches), self.num_workers):
                     if stop.is_set():
                         return
+                    if batches[bi] is None:  # lockstep padding batch
+                        items = [self.dataset[0]]
+                        batch = collate_waveforms(
+                            items,
+                            cfg,
+                            self.buckets,
+                            self.batch_size if self.pad_to_batch else None,
+                            fixed_bucket=self.fixed_bucket,
+                        )
+                        batch["valid"][:] = False
+                        out_q.put((bi, batch))
+                        continue
                     items = [self.dataset[i] for i in batches[bi]]
                     over = sum(
                         1 for it in items if len(it["noisy_audio"]) > max_wav

@@ -261,12 +261,14 @@ class Evaluator:
             + [f"[{lo:g},{hi:g})dB" for lo, hi in zip(edges, edges[1:])]
             + [f">={edges[-1]:g}dB"]
         )
+        counts: Dict[str, int] = {}
         for name, m in per_file.items():
             s = m.get("noisy_snr")
             if s is None or not np.isfinite(s):
                 continue
             b = int(np.searchsorted(np.asarray(edges), s, side="right"))
             bin_key = labels[b]
+            counts[bin_key] = counts.get(bin_key, 0) + 1
             bucket = out.setdefault(bin_key, {k: [] for k in keys})
             for k in keys:
                 v = m.get(k)
@@ -277,13 +279,15 @@ class Evaluator:
             if bin_key not in out:
                 continue
             vals = out[bin_key]
-            row: Dict[str, float] = {
-                "count": float(len(next(iter(vals.values()), [])))
-            }
+            # count = clips in the bin; a metric whose finite-value count
+            # differs (nan rows excluded from its mean) gets its own
+            # <metric>_count entry so the report never misattributes n
+            row: Dict[str, float] = {"count": float(counts[bin_key])}
             for k in keys:
                 if vals[k]:
                     row[k] = float(np.mean(vals[k]))
-                    row["count"] = float(len(vals[k]))
+                    if len(vals[k]) != counts[bin_key]:
+                        row[f"{k}_count"] = float(len(vals[k]))
             report[bin_key] = row
         return report
 

@@ -174,6 +174,30 @@ class AudioEnhancer:
         )
 
     # ------------------------------------------------------------------
+    def _apply_blend(self, enhanced_mag: Array, mag: Array) -> Array:
+        """Do-no-harm blend (see __init__): magnitude-domain mix with the
+        noisy magnitude — with shared noisy phase and a linear iSTFT this
+        equals the waveform-domain mix, for one iSTFT. Shared by every
+        enhancement path (bucketed core AND exact/no-norm)."""
+        if self.blend == "snr_adaptive":
+            sig = jnp.sum(
+                jnp.square(enhanced_mag), axis=(-2, -1), keepdims=True
+            )
+            res = jnp.sum(
+                jnp.square(mag - enhanced_mag), axis=(-2, -1), keepdims=True
+            )
+            est_snr = 10.0 * jnp.log10(
+                jnp.maximum(sig, 1e-12) / jnp.maximum(res, 1e-12)
+            )
+            alpha = self.blend_min + (1.0 - self.blend_min) * jax.nn.sigmoid(
+                (self.blend_pivot_db - est_snr) / self.blend_width_db
+            )
+            return alpha * enhanced_mag + (1.0 - alpha) * mag
+        if float(self.blend) != 1.0:
+            a = float(self.blend)
+            return a * enhanced_mag + (1.0 - a) * mag
+        return enhanced_mag
+
     def _core(self, wav_len: int):
         """Jitted enhancement core for a fixed padded length."""
         if wav_len in self._core_cache:
@@ -208,26 +232,7 @@ class AudioEnhancer:
                 enhanced_mag = jnp.clip((out + 1.0) * 0.5, 0.0, 1.0) * mag
             else:
                 enhanced_mag = out * mag_max
-            # do-no-harm blend (see __init__): magnitude-domain mix with
-            # the noisy magnitude — with shared noisy phase and a linear
-            # iSTFT this equals the waveform-domain mix, for one iSTFT
-            if self.blend == "snr_adaptive":
-                sig = jnp.sum(
-                    jnp.square(enhanced_mag), axis=(-2, -1), keepdims=True
-                )
-                res = jnp.sum(
-                    jnp.square(mag - enhanced_mag), axis=(-2, -1), keepdims=True
-                )
-                est_snr = 10.0 * jnp.log10(
-                    jnp.maximum(sig, 1e-12) / jnp.maximum(res, 1e-12)
-                )
-                alpha = self.blend_min + (1.0 - self.blend_min) * jax.nn.sigmoid(
-                    (self.blend_pivot_db - est_snr) / self.blend_width_db
-                )
-                enhanced_mag = alpha * enhanced_mag + (1.0 - alpha) * mag
-            elif float(self.blend) != 1.0:
-                a = float(self.blend)
-                enhanced_mag = a * enhanced_mag + (1.0 - a) * mag
+            enhanced_mag = self._apply_blend(enhanced_mag, mag)
             # noisy-phase reuse; polar recombination fuses into the Pallas
             # iSTFT kernel on TPU (reference: enhancer.py:117-129)
             y = reconstruct(
@@ -391,8 +396,10 @@ class AudioEnhancer:
             enhanced_mag = jnp.clip((out + 1.0) * 0.5, 0.0, 1.0) * mag
         else:
             enhanced_mag = out * mag_max
+        enhanced_mag = self._apply_blend(enhanced_mag, mag)
         return reconstruct(
-            enhanced_mag, phase, cfg, length=wav_len, method=self.stft_method
+            enhanced_mag, phase, cfg, length=wav_len, method=self.stft_method,
+            precision=self.dft_precision,
         )
 
     # ------------------------------------------------------------------

@@ -63,6 +63,20 @@ def fold_batchnorm(model, variables: Dict[str, Any]) -> Tuple[Any, Dict]:
         else:
             new_params[block] = sub
 
+    # a BN that survives the fold would make the fold_bn=True model clone
+    # fail far from here (missing conv bias / unused BN params) — turn a
+    # silent partial fold into an immediate, attributable error
+    leftover = [
+        block
+        for block, sub in new_params.items()
+        if isinstance(sub, dict) and "BatchNorm_0" in sub
+    ]
+    if leftover:
+        raise ValueError(
+            "fold_batchnorm could not fold BatchNorm in block(s) "
+            f"{leftover} (missing batch_stats or unexpected layout)"
+        )
+
     import dataclasses
 
     import jax.numpy as jnp

@@ -506,9 +506,18 @@ class Trainer:
         # so average the loss/grad metrics over the ACCEPTED steps only;
         # nonfinite_skipped itself stays a fraction of ALL steps
         skipped = float(host_totals.get("nonfinite_skipped", 0.0))
-        accepted = max(count - skipped, 1.0)
+        accepted = count - skipped
+        if count and accepted <= 0:
+            # every step diverged: zero-filled sums would report a perfect
+            # 0.0 loss (and a no-val run would then save it as best_model);
+            # NaN is the honest value and never wins a best-loss compare
+            return {
+                k: (1.0 if k == "nonfinite_skipped" else float("nan"))
+                for k in host_totals
+            }
         return {
-            k: float(v) / (max(count, 1) if k == "nonfinite_skipped" else accepted)
+            k: float(v)
+            / (max(count, 1) if k == "nonfinite_skipped" else max(accepted, 1.0))
             for k, v in host_totals.items()
         }
 

@@ -168,6 +168,28 @@ def test_skipped_step_metrics_masked(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_loader_lockstep_padding_batches(tmp_path):
+    """max_batches beyond the natural batch count emits all-invalid
+    padding batches (multi-host lockstep: a host whose val shard is
+    exhausted must keep stepping while peers score their larger shards —
+    previously the tail files on larger shards were silently dropped)."""
+    root = _make_dataset(tmp_path / "data", n=3)
+    cfg = {"data": {"train_val_split": 1.0}}
+    ds = VoiceBankDataset(root, "train", cfg)
+    assert len(ds) == 3
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        buckets=BUCKETS, max_batches=3)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert len(batches) == 3
+    # batch 0: 2 real rows; batch 1: 1 real + 1 pad; batch 2: all pad
+    assert batches[0]["valid"].sum() == 2
+    assert batches[1]["valid"].sum() == 1
+    assert batches[2]["valid"].sum() == 0
+    for b in batches:
+        assert b["noisy_audio"].shape[0] == 2
+
+
 def test_aggregate_by_input_snr():
     from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation.evaluator import (
         Evaluator,
