@@ -112,23 +112,72 @@ def babble_noise(
     return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
 
 
-def coloured_noise(
-    n: int, rng: np.random.Generator, n_families: int = 5
+def impulsive_noise(
+    n: int, rng: np.random.Generator, white: np.ndarray | None = None
 ) -> np.ndarray:
-    """White/pink/band-limited/hum/babble noise mix — varied enough that
-    the model can't just learn one fixed spectral subtraction.
+    """Impulsive/crackle noise: a Poisson-ish train of decaying clicks +
+    intermittently gated band-limited bursts (keyboard/crockery/crackle).
+    Non-stationary in a way none of the five r3/r4 training families are —
+    added in round 5 as the HELD-OUT test family for the hardened quality
+    protocol (only reachable with ``n_families=6``; training sets keep the
+    default 5, so models never see it). Draw order is part of the
+    RNG-stream contract with ``coloured_noise``."""
+    if white is None:
+        white = rng.standard_normal(n)
+    x = np.zeros(n, np.float64)
+    rate = rng.uniform(4.0, 14.0)  # clicks per second
+    n_clicks = max(1, int(rate * n / SR))
+    pos = rng.integers(0, n, size=n_clicks)
+    amp = rng.uniform(0.3, 1.0, size=n_clicks) * rng.choice(
+        [-1.0, 1.0], size=n_clicks
+    )
+    decay = np.exp(-np.arange(int(0.008 * SR)) / (0.002 * SR))
+    for p, a in zip(pos, amp):
+        end = min(n, p + len(decay))
+        x[p:end] += a * decay[: end - p]
+    # intermittent band-limited bursts gated at a syllabic-ish rate
+    spec = np.fft.rfft(white)
+    freqs = np.fft.rfftfreq(n, 1.0 / SR)
+    lo = rng.uniform(800, 3000)
+    hi = lo + rng.uniform(1000, 4000)
+    band = np.fft.irfft(spec * ((freqs >= lo) & (freqs <= hi)), n=n)
+    t = np.arange(n) / SR
+    gate = (
+        np.sin(2 * np.pi * rng.uniform(0.5, 1.5) * t + rng.uniform(0, 6))
+        > rng.uniform(-0.2, 0.5)
+    ).astype(np.float64)
+    x += 0.6 * band / (np.abs(band).max() + 1e-9) * gate
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+FAMILY_NAMES = ("white", "pink", "bandpass", "hum", "babble", "impulsive")
+
+
+def coloured_noise(
+    n: int,
+    rng: np.random.Generator,
+    n_families: int = 5,
+    return_kind: bool = False,
+):
+    """White/pink/band-limited/hum/babble(/impulsive) noise mix — varied
+    enough that the model can't just learn one fixed spectral subtraction.
 
     ``n_families`` pins how many noise kinds are drawn from (in the order
-    white, pink, band-pass, mains-hum, babble). Tests that regression-pin
-    a training budget against a fixed data distribution pass
+    white, pink, band-pass, mains-hum, babble, impulsive). Tests that
+    regression-pin a training budget against a fixed data distribution pass
     ``n_families=3`` — the round-2 generator — so extending this function
     with new families does not silently shift their RNG stream (a round-3
     breakage; any change here requires re-running ``pytest -m slow``).
+    Family 5 (impulsive) is the round-5 HELD-OUT evaluation family: train
+    sets are generated with the default 5, so it stays unseen.
+
+    ``return_kind=True`` additionally returns the drawn family name
+    (identical RNG stream either way).
     """
     white = rng.standard_normal(n)
     spec = np.fft.rfft(white)
     freqs = np.maximum(np.fft.rfftfreq(n, 1.0 / SR), 1.0)
-    kind = rng.integers(0, n_families)
+    kind = int(rng.integers(0, n_families))
     if kind == 0:  # white
         shaped = spec
     elif kind == 1:  # pink
@@ -137,11 +186,17 @@ def coloured_noise(
         lo, hi = sorted(rng.uniform(100, 7000, size=2))
         shaped = spec * ((freqs >= lo) & (freqs <= hi))
     elif kind == 3:  # mains-hum harmonics + white floor (DEMAND-ish office)
-        return hum_noise(n, rng, white)
-    else:  # babble-like: syllabically AM-modulated pink noise
-        return babble_noise(n, rng, white)
+        out = hum_noise(n, rng, white)
+        return (out, FAMILY_NAMES[kind]) if return_kind else out
+    elif kind == 4:  # babble-like: syllabically AM-modulated pink noise
+        out = babble_noise(n, rng, white)
+        return (out, FAMILY_NAMES[kind]) if return_kind else out
+    else:  # impulsive clicks + gated bursts (round-5 held-out family)
+        out = impulsive_noise(n, rng, white)
+        return (out, FAMILY_NAMES[kind]) if return_kind else out
     x = np.fft.irfft(shaped, n=n)
-    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+    out = (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+    return (out, FAMILY_NAMES[kind]) if return_kind else out
 
 
 def main() -> int:
@@ -154,9 +209,22 @@ def main() -> int:
     ap.add_argument("--snr-high", type=float, default=10.0)
     ap.add_argument("--min-seconds", type=float, default=1.0)
     ap.add_argument("--max-seconds", type=float, default=3.0)
+    ap.add_argument(
+        "--families", type=int, default=5,
+        help="noise families drawn from (default 5 keeps the r3/r4 "
+             "training distribution; family 6 = impulsive is reserved "
+             "for held-out evaluation via --test-unseen)",
+    )
+    ap.add_argument(
+        "--test-unseen", type=int, default=0,
+        help="additional test pairs (u*.wav) mixed with the held-out "
+             "impulsive family only, drawn from an independent RNG "
+             "stream — models trained on default sets never saw it",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
+    manifest = {}
     splits = (
         ("clean_trainset_28spk_wav", "noisy_trainset_28spk_wav", args.train, "p"),
         ("clean_testset_wav", "noisy_testset_wav", args.test, "t"),
@@ -165,15 +233,50 @@ def main() -> int:
         for i in range(count):
             sec = rng.uniform(args.min_seconds, args.max_seconds)
             clean = speechlike(sec, rng)
-            noise = coloured_noise(len(clean), rng)
+            noise, family = coloured_noise(
+                len(clean), rng, n_families=args.families, return_kind=True
+            )
             snr = rng.uniform(args.snr_low, args.snr_high)
             noisy = mix_at_snr(clean, noise, snr)
             name = f"{prefix}{i:03d}.wav"
             save_wav(args.out / clean_dir / name, clean, SR)
             save_wav(args.out / noisy_dir / name, noisy.astype(np.float32), SR)
+            manifest[name] = {
+                "split": "train" if prefix == "p" else "test",
+                "family": family,
+                "snr_db": round(float(snr), 3),
+                "seconds": round(float(sec), 3),
+            }
+    # Held-out-family test pairs ride an INDEPENDENT stream so adding or
+    # resizing them can never perturb the seen-split draws above.
+    urng = np.random.default_rng(args.seed + 990_001)
+    for i in range(args.test_unseen):
+        sec = urng.uniform(args.min_seconds, args.max_seconds)
+        clean = speechlike(sec, urng)
+        noise = impulsive_noise(len(clean), urng)
+        snr = urng.uniform(args.snr_low, args.snr_high)
+        noisy = mix_at_snr(clean, noise, snr)
+        name = f"u{i:03d}.wav"
+        save_wav(args.out / "clean_testset_wav" / name, clean, SR)
+        save_wav(
+            args.out / "noisy_testset_wav" / name, noisy.astype(np.float32), SR
+        )
+        manifest[name] = {
+            "split": "test",
+            "family": "impulsive",
+            "unseen": True,
+            "snr_db": round(float(snr), 3),
+            "seconds": round(float(sec), 3),
+        }
+    import json
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    (args.out / "manifest.json").write_text(json.dumps(manifest, indent=1))
     print(
-        f"wrote {args.train} train + {args.test} test pairs to {args.out} "
-        f"(SNR {args.snr_low}..{args.snr_high} dB)"
+        f"wrote {args.train} train + {args.test} test "
+        f"+ {args.test_unseen} unseen-family test pairs to {args.out} "
+        f"(SNR {args.snr_low}..{args.snr_high} dB; manifest.json has "
+        f"per-file family/snr)"
     )
     return 0
 

@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "noisy magnitude; +8.9 dB oracle — recommended "
                         "for from-scratch training). Recorded in the "
                         "checkpoint; inference auto-configures")
+    p.add_argument("--head", default=None,
+                   choices=["resize", "fullres_mask"],
+                   help="output head: 'resize' (reference parity — final "
+                        "64-row map bilinearly stretched to 257 bins) or "
+                        "'fullres_mask' (learned sub-pixel upsample + "
+                        "full-resolution input skip; removes the 64-row "
+                        "bottleneck — pair with --output-mode mask). "
+                        "Recorded in the checkpoint; inference "
+                        "auto-configures")
     p.add_argument("--log-l1-weight", type=float, default=None,
                    help="blend a gradient-floored log-magnitude L1 into "
                         "the loss (0.05 is the measured LSD fix, "
@@ -122,6 +131,8 @@ def main(argv=None) -> int:
         set_config_value(config, "model.transformer.pos_embed", args.pos_embed)
     if args.output_mode is not None:
         set_config_value(config, "model.output_mode", args.output_mode)
+    if args.head is not None:
+        set_config_value(config, "model.head", args.head)
     if args.log_l1_weight is not None:
         set_config_value(config, "training.loss.log_l1_weight", args.log_l1_weight)
     if args.data_parallel is not None:

@@ -79,6 +79,27 @@ class HybridViT(nn.Module):
     # Numerically identical to the BN model in eval mode (fp32-tested);
     # never used for training (BN stats would no longer update).
     fold_bn: bool = False
+    # Output head (round-5 framework extension; no reference counterpart):
+    #   "resize"       — reference parity: decoder's final 1-channel Tanh
+    #                    block at [64, T/4] + bilinear stretch to [F, T]
+    #                    (reference: models/hybrid_vit.py:459-465). Caps
+    #                    the output at the decoder's 64-row resolution —
+    #                    the r4 oracle study's measured bottleneck.
+    #   "fullres_mask" — learned sub-pixel (depth-to-space) upsampling of
+    #                    the decoder's penultimate feature map to the full
+    #                    [F, T] grid, concatenated with the normalized
+    #                    input magnitude (a full-resolution skip), refined
+    #                    by two 3x3 convs -> Tanh. The output can place
+    #                    spectral detail at single-bin resolution instead
+    #                    of inheriting the 64-row blur. Pair with
+    #                    model.output_mode: "mask".
+    head_type: str = "resize"
+    head_channels: int = 16
+    # sub-pixel upsampling factors (freq, time): the spatial factor still
+    # missing after the decoder — prod(pools)*patch / prod(dec upsamples),
+    # 4x4 for the default config (create_hybrid_vit derives them)
+    head_freq_up: int = 4
+    head_time_up: int = 4
 
     @nn.compact
     def __call__(
@@ -106,8 +127,15 @@ class HybridViT(nn.Module):
         Returns:
           ``[B, F, T, C_out]`` enhanced spectrogram in [-1, 1].
         """
+        if self.head_type not in ("resize", "fullres_mask"):
+            raise ValueError(
+                f"unknown head_type {self.head_type!r} "
+                "(expected 'resize' or 'fullres_mask')"
+            )
+        fullres = self.head_type == "fullres_mask"
         in_f, in_t = x.shape[1], x.shape[2]
         x = x.astype(self.compute_dtype)
+        x_in = x  # full-resolution input skip for the fullres head
 
         # ===== 1. CNN encoder (skips saved after every block) =====
         skips: List[Array] = []
@@ -233,6 +261,9 @@ class HybridViT(nn.Module):
             )
         ):
             is_final = i == n_dec - 1
+            if is_final and fullres:
+                # the fullres head replaces the final 1-channel Tanh block
+                break
             if self.use_skip_connections and not is_final and i < len(rev_skips):
                 skip = nn.Conv(
                     ch,
@@ -269,6 +300,59 @@ class HybridViT(nn.Module):
         if stage_out == "pre_resize":
             return x
 
+        if fullres:
+            # ===== 7 (fullres_mask). Learned upsample to [F, T] =====
+            # Sub-pixel conv: predict fu*tu sub-positions per coarse cell,
+            # then depth-to-space — an MXU-friendly learned upsampler (one
+            # conv at coarse resolution; no transposed-conv checkerboard).
+            from .components import conv_kernel_init
+
+            fu, tu = self.head_freq_up, self.head_time_up
+            h = nn.Conv(
+                self.head_channels * fu * tu,
+                (3, 3),
+                padding=[(1, 1), (1, 1)],
+                kernel_init=conv_kernel_init,
+                name="head_subpixel",
+            )(x)
+            b, f0, t0 = h.shape[0], h.shape[1], h.shape[2]
+            h = h.reshape(b, f0, t0, fu, tu, self.head_channels)
+            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, f0 * fu, t0 * tu, self.head_channels
+            )
+            # 256 -> 257 etc.: a near-identity bilinear nudge (the learned
+            # 4x upsample has already done the real work)
+            if h.shape[1:3] != (in_f, in_t):
+                h = jnp.moveaxis(
+                    resize_bilinear(jnp.moveaxis(h, -1, 1), (in_f, in_t)),
+                    1,
+                    -1,
+                )
+            # full-resolution input skip: the refinement convs see the
+            # actual noisy magnitude at single-bin resolution, so the mask
+            # can snap to spectral features the 64-row path cannot resolve
+            h = jnp.concatenate([h, x_in], axis=-1)
+            h = nn.Conv(
+                self.head_channels,
+                (3, 3),
+                padding=[(1, 1), (1, 1)],
+                kernel_init=conv_kernel_init,
+                name="head_refine",
+            )(h)
+            h = nn.relu(h)
+            x = nn.Conv(
+                self.output_channels,
+                (3, 3),
+                padding=[(1, 1), (1, 1)],
+                kernel_init=conv_kernel_init,
+                name="head_out",
+            )(h)
+            x = jnp.tanh(x)
+            x = x.astype(jnp.float32)
+            if return_attentions:
+                return x, attentions
+            return x
+
         # ===== 7. Resize back to input [F, T] =====
         if x.shape[1:3] != (in_f, in_t):
             x = jnp.moveaxis(
@@ -303,6 +387,7 @@ def count_parameters(params) -> Dict[str, int]:
         ),
         "patch_embed": tally(p.get("patch_embed", {})),
         "pos_encoding": tally(p.get("pos_encoding", {})),
+        "head": tally({k: v for k, v in p.items() if k.startswith("head_")}),
         "total": tally(p),
     }
     counts["trainable"] = counts["total"]
@@ -360,6 +445,21 @@ def create_hybrid_vit(config: Optional[Dict] = None, **overrides) -> HybridViT:
         use_pallas_attention=config.get("tpu", {}).get(
             "use_pallas_attention", False
         ),
+        head_type=mc.get("head", "resize"),
+        head_channels=mc.get("head_channels", 16),
     )
     kwargs.update(overrides)
+    if kwargs["head_type"] == "fullres_mask":
+        # spatial factor still missing after the decoder: the encoder
+        # pools + patchify downsample, the decoder upsamples back part way
+        down = 1
+        for p in kwargs["encoder_pool_sizes"]:
+            down *= max(int(p), 1)
+        down *= int(kwargs["patch_size"])
+        up = 1
+        for u in kwargs["decoder_upsample_factors"]:
+            up *= max(int(u), 1)
+        rem = max(1, down // up)
+        kwargs.setdefault("head_freq_up", rem)
+        kwargs.setdefault("head_time_up", rem)
     return HybridViT(**kwargs)
