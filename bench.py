@@ -141,6 +141,32 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- measured link bandwidth (round 5; VERDICT r4 task 7) ----
+    # The end-to-end `value` tracks the RELAY's hourly bandwidth, not the
+    # code (r3->r4: 509 -> 278 audio-s/s on identical code). Reporting the
+    # measured H2D/D2H rate in the same line makes the headline
+    # normalizable across rounds instead of merely explainable. Fresh
+    # random buffers each pass defeat the relay's result cache.
+    link_h2d = link_d2h = None
+    try:
+        xfer_bytes = 4 * 1024 * 1024
+        ups, downs = [], []
+        for _ in range(3):
+            host = rng.integers(
+                -32768, 32767, size=xfer_bytes // 2, dtype=np.int16
+            )
+            t0 = time.perf_counter()
+            dev = jax.device_put(host)
+            jax.block_until_ready(dev)
+            ups.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(dev)
+            downs.append(time.perf_counter() - t0)
+        link_h2d = round(xfer_bytes / 1e6 / float(np.median(ups)), 2)
+        link_d2h = round(xfer_bytes / 1e6 / float(np.median(downs)), 2)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -151,6 +177,8 @@ def main() -> None:
                 "device_audio_s_per_s": round(device_rate, 2),
                 "device_step_ms": round(dev_dt * 1e3, 3),
                 "mfu_pct": mfu_pct,
+                "link_MBps_h2d": link_h2d,
+                "link_MBps_d2h": link_d2h,
             }
         )
     )

@@ -39,6 +39,13 @@ def main() -> int:
     ap.add_argument("--device", default=None, choices=["tpu", "cpu"])
     ap.add_argument("--max-files", type=int, default=None)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--write-checkpoint-meta", action="store_true",
+                    help="store the winning snr_adaptive parameters in the "
+                         "checkpoint's meta.json (config.inference.blend) "
+                         "so AudioEnhancer adopts them by default — the "
+                         "round-5 magnitude-head foot-gun fix (a magnitude "
+                         "checkpoint served raw at blend=1.0 measurably "
+                         "harms clean input)")
     args = ap.parse_args()
 
     import jax
@@ -163,6 +170,25 @@ def main() -> int:
     else:
         print("no parameter setting satisfies the no-harm constraint")
         params = None
+
+    if args.write_checkpoint_meta:
+        if best is None:
+            print("no no-harm fit found — checkpoint meta NOT updated")
+        else:
+            meta_path = Path(args.checkpoint) / "meta.json"
+            meta = json.loads(meta_path.read_text())
+            meta.setdefault("config", {}).setdefault("inference", {})[
+                "blend"
+            ] = {
+                "mode": "snr_adaptive",
+                "min": best[2]["min"],
+                "pivot_db": best[2]["pivot"],
+                "width_db": best[2]["width"],
+                "fitted_mean_gain_db": best[0],
+                "fitted_on": str(args.noisy_dir),
+            }
+            meta_path.write_text(json.dumps(meta, indent=1, default=float))
+            print(f"fitted blend parameters written to {meta_path}")
 
     if args.json_out:
         Path(args.json_out).write_text(json.dumps({

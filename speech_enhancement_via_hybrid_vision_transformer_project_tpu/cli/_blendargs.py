@@ -15,7 +15,11 @@ def add_blend_args(p: argparse.ArgumentParser) -> None:
                    help="do-no-harm output mix: float in [0,1] (fraction "
                         "of enhanced magnitude; 1.0 = pure model output) "
                         "or 'snr_adaptive' (per-clip back-off on "
-                        "already-clean input)")
+                        "already-clean input). Default: adopt the "
+                        "checkpoint's fitted parameters when present "
+                        "(tune_blend.py --write-checkpoint-meta), else "
+                        "1.0 — with a warning for magnitude-head models, "
+                        "where raw output measurably harms clean input")
     p.add_argument("--blend-min", type=float, default=0.3,
                    help="snr_adaptive floor: minimum enhanced fraction")
     p.add_argument("--blend-pivot-db", type=float, default=18.0,
@@ -27,7 +31,7 @@ def add_blend_args(p: argparse.ArgumentParser) -> None:
 
 def parse_blend(value):
     if value is None:
-        return 1.0
+        return None  # AUTO: enhancer adopts checkpoint-fitted params
     try:
         return float(value)
     except ValueError:

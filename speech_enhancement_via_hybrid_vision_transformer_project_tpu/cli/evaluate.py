@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-files", type=int, default=None)
     p.add_argument("--no-pesq", action="store_true")
+    p.add_argument("--metric-workers", type=int, default=None,
+                   help="process-pool size for per-file metric scoring "
+                        "(default min(4, cpu_count); 1 = serial). Results "
+                        "are identical to serial; only wall time changes")
     p.add_argument("--exact", action="store_true",
                    help="reference-exact per-file enhancement (no bucket "
                         "padding; slower — one compile per length)")
@@ -90,6 +94,7 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         max_files=args.max_files,
         exact=args.exact,
+        metric_workers=args.metric_workers,
     )
     print(Evaluator.format_report(results))
     # keep per-file rows in the JSON: distributional claims (per-SNR

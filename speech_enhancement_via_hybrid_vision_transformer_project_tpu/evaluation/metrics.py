@@ -363,6 +363,38 @@ def compute_all_metrics(
     return out
 
 
+def metrics_task(args) -> Dict[str, float]:
+    """Process-pool entry point for parallel metric scoring (round 5;
+    VERDICT r4 task 6). ``args = (clean, enhanced, noisy, sample_rate,
+    include_pesq)``. Metric computation is embarrassingly parallel per
+    file and pure numpy, so worker results are bit-identical to an
+    in-process call (asserted by tests/test_round5.py). The reference
+    scores files serially in its eval loop
+    (reference: evaluation/evaluator.py:157-231)."""
+    clean, enhanced, noisy, sample_rate, include_pesq = args
+    return compute_all_metrics(
+        clean, enhanced, noisy, sample_rate, include_pesq=include_pesq
+    )
+
+
+def metrics_pool_init() -> None:
+    """Worker initializer: keep pool workers CPU-only and quiet. Workers
+    never touch a device, but the environment preimports jax — pinning the
+    platform guarantees a spawned worker can never open a second client
+    against the single-client TPU relay."""
+    import warnings
+
+    warnings.filterwarnings(
+        "ignore", message=".*native P.862.*", category=UserWarning
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def print_metrics(metrics: Dict[str, float]) -> str:
     """(reference: evaluation/metrics.py:352-368)"""
     lines = ["=" * 48, "Speech Enhancement Metrics", "=" * 48]

@@ -45,7 +45,7 @@ class AudioEnhancer:
         io_dtype: str = "float32",
         mesh=None,
         mask_padding: bool = False,
-        blend: float | str = 1.0,
+        blend: float | str | None = None,
         blend_min: float = 0.3,
         blend_pivot_db: float = 18.0,
         blend_width_db: float = 4.0,
@@ -135,11 +135,57 @@ class AudioEnhancer:
         #       the model has little noise left to remove and mostly
         #       distorts. No reference counterpart (its output is always
         #       the raw model output, inference/enhancer.py:109-133).
+        # blend=None (default) = AUTO (round 5; VERDICT r4 task 4): adopt
+        # the checkpoint's own fitted do-no-harm parameters when present
+        # (benchmarks/tune_blend.py --write-checkpoint-meta stores them in
+        # meta.json under config.inference.blend), else fall through to
+        # 1.0. A MAGNITUDE-head model actually served at blend=1.0 gets a
+        # loud warning either way: the r4 measurement is -3.25 dB SI-SDR
+        # on the 10-15 dB input bin raw, rescued to -0.06 dB by the fitted
+        # snr_adaptive blend (benchmarks/results/blend_fit_magnitude_r4
+        # .json). Mask-head models don't need rescue (alpha=1 measured
+        # optimal, blend_fit_mask_r4.json) and stay silent.
+        meta_blend = self.config.get("inference", {}).get("blend") or {}
+        if blend is None:
+            if (
+                self.output_mode == "magnitude"
+                and meta_blend.get("mode") == "snr_adaptive"
+            ):
+                blend = "snr_adaptive"
+                blend_min = float(meta_blend.get("min", blend_min))
+                blend_pivot_db = float(
+                    meta_blend.get("pivot_db", blend_pivot_db)
+                )
+                blend_width_db = float(
+                    meta_blend.get("width_db", blend_width_db)
+                )
+                print(
+                    "note: using the checkpoint's fitted snr_adaptive "
+                    f"blend (min={blend_min:g}, pivot={blend_pivot_db:g} dB, "
+                    f"width={blend_width_db:g} dB); pass --blend 1.0 for "
+                    "raw reference-parity output"
+                )
+            else:
+                blend = 1.0
         if not (blend == "snr_adaptive" or (
             isinstance(blend, (int, float)) and 0.0 <= float(blend) <= 1.0
         )):
             raise ValueError(
                 f"blend must be a float in [0,1] or 'snr_adaptive', got {blend!r}"
+            )
+        if self.output_mode == "magnitude" and blend == 1.0:
+            import warnings
+
+            warnings.warn(
+                "magnitude-head checkpoint served with blend=1.0: this "
+                "configuration measurably HARMS already-clean input "
+                "(-3.25 dB SI-SDR on the 10-15 dB bin, benchmarks/results/"
+                "blend_fit_magnitude_r4.json). Fit do-no-harm parameters "
+                "with benchmarks/tune_blend.py --write-checkpoint-meta, or "
+                "pass --blend snr_adaptive; the mask-head recipe "
+                "(--output-mode mask) does not need this mitigation.",
+                UserWarning,
+                stacklevel=2,
             )
         self.blend = blend
         self.blend_min = float(blend_min)

@@ -147,3 +147,172 @@ class TestFullresHead:
         assert np.isfinite(float(metrics["total"]))
         comps = eval_step(state2, batch)
         assert np.isfinite(float(comps["total"]))
+
+
+class TestMagnitudeBlendFootgun:
+    """Round-5 fix (VERDICT r4 task 4): a magnitude-head checkpoint served
+    raw (blend=1.0) measurably harms clean input (-3.25 dB on the 10-15 dB
+    bin, blend_fit_magnitude_r4.json). The enhancer now warns on that
+    config and auto-adopts checkpoint-fitted snr_adaptive parameters."""
+
+    @staticmethod
+    def _enhancer(config, **kw):
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.inference import (
+            AudioEnhancer,
+        )
+        from fixtures.make_tiny_denoiser import TINY
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+            HybridViT,
+        )
+
+        model = HybridViT(**TINY)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 257, 32, 1)), train=False
+        )
+        return AudioEnhancer(model, variables, config, **kw)
+
+    def test_magnitude_default_blend_warns(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            enh = self._enhancer({"model": {"output_mode": "magnitude"}})
+        assert enh.blend == 1.0
+        assert any("blend=1.0" in str(x.message) for x in w)
+
+    def test_magnitude_explicit_raw_blend_still_warns(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            self._enhancer({"model": {"output_mode": "magnitude"}}, blend=1.0)
+        assert any("blend=1.0" in str(x.message) for x in w)
+
+    def test_mask_default_blend_silent(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            enh = self._enhancer({"model": {"output_mode": "mask"}})
+        assert enh.blend == 1.0
+        assert not [x for x in w if "blend" in str(x.message)]
+
+    def test_fitted_params_adopted_from_checkpoint_metadata(self):
+        import warnings
+
+        cfg = {
+            "model": {"output_mode": "magnitude"},
+            "inference": {
+                "blend": {
+                    "mode": "snr_adaptive",
+                    "min": 0.2,
+                    "pivot_db": 12.0,
+                    "width_db": 2.0,
+                }
+            },
+        }
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            enh = self._enhancer(cfg)
+        assert enh.blend == "snr_adaptive"
+        assert (enh.blend_min, enh.blend_pivot_db, enh.blend_width_db) == (
+            0.2, 12.0, 2.0,
+        )
+        assert not [x for x in w if "blend=1.0" in str(x.message)]
+        # explicit flag still wins over metadata
+        enh2 = self._enhancer(cfg, blend=0.5)
+        assert enh2.blend == 0.5
+
+    def test_blend_params_roundtrip_through_meta_json(self, tmp_path):
+        """tune_blend --write-checkpoint-meta -> meta.json ->
+        load_model_for_inference merged config -> enhancer adopts."""
+        import json
+
+        meta = {"epoch": 1, "config": {"model": {"output_mode": "magnitude"}}}
+        # the exact update tune_blend.py performs
+        meta.setdefault("config", {}).setdefault("inference", {})["blend"] = {
+            "mode": "snr_adaptive",
+            "min": 0.1,
+            "pivot_db": 10.0,
+            "width_db": 4.0,
+        }
+        (tmp_path / "meta.json").write_text(json.dumps(meta))
+        loaded = json.loads((tmp_path / "meta.json").read_text())
+        enh = self._enhancer(loaded["config"])
+        assert enh.blend == "snr_adaptive"
+        assert enh.blend_pivot_db == 10.0
+
+
+class TestParallelMetrics:
+    """Round-5 process-pool metric scoring (VERDICT r4 task 6): results
+    must be identical to serial in-process scoring."""
+
+    def test_metrics_task_matches_compute_all_metrics(self):
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation.metrics import (
+            compute_all_metrics,
+            metrics_task,
+        )
+
+        rng = np.random.default_rng(0)
+        sr = 16000
+        clean = (rng.standard_normal(2 * sr) * 0.1).astype(np.float32)
+        noisy = clean + 0.05 * rng.standard_normal(2 * sr).astype(np.float32)
+        enh = clean + 0.02 * rng.standard_normal(2 * sr).astype(np.float32)
+        a = compute_all_metrics(clean, enh, noisy, sr, include_pesq=False)
+        b = metrics_task((clean, enh, noisy, sr, False))
+        assert a == b
+
+    def test_evaluate_dataset_parallel_identical_to_serial(self, tmp_path):
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data import (
+            save_wav,
+        )
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation import (
+            Evaluator,
+        )
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.inference import (
+            AudioEnhancer,
+        )
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.models import (
+            HybridViT,
+        )
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.utils.checkpoint import (
+            load_model_weights,
+        )
+        from pathlib import Path
+        from fixtures.make_tiny_denoiser import TINY
+
+        fixture = Path(__file__).parent / "fixtures" / "tiny_denoiser"
+        model = HybridViT(**TINY)
+        tmpl = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 257, 64, 1), jnp.float32),
+            train=False,
+        )
+        variables = load_model_weights(fixture, tmpl)
+        enhancer = AudioEnhancer(
+            model, variables, {}, buckets=(64, 128), mask_padding=True
+        )
+
+        rng = np.random.default_rng(3)
+        sr = 16000
+        for i in range(4):
+            clean = (rng.standard_normal(sr) * 0.2).astype(np.float32)
+            noisy = clean + 0.1 * rng.standard_normal(sr).astype(np.float32)
+            save_wav(tmp_path / "clean" / f"c{i}.wav", clean, sr)
+            save_wav(tmp_path / "noisy" / f"c{i}.wav", noisy, sr)
+
+        ev = Evaluator(enhancer, sr, include_pesq=False)
+        serial = ev.evaluate_dataset(
+            tmp_path / "noisy", tmp_path / "clean",
+            batch_size=2, progress=False, metric_workers=1,
+        )
+        parallel = ev.evaluate_dataset(
+            tmp_path / "noisy", tmp_path / "clean",
+            batch_size=2, progress=False, metric_workers=2,
+        )
+        assert serial["per_file"].keys() == parallel["per_file"].keys()
+        for name, row in serial["per_file"].items():
+            prow = parallel["per_file"][name]
+            assert row.keys() == prow.keys()
+            for k, v in row.items():
+                assert prow[k] == pytest.approx(v, abs=1e-12), (name, k)
