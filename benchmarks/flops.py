@@ -70,6 +70,12 @@ class ModelSpec:
     decoder_upsample_factors: Tuple[int, ...] = (1, 2, 2, 1)
     use_skip_connections: bool = True
     input_channels: int = 1
+    # round-5 fullres head (models/hybrid_vit.py head_type):
+    head_type: str = "resize"
+    head_channels: int = 16
+    head_freq_up: int = 4
+    head_time_up: int = 4
+    output_channels: int = 1
     extras: Dict[str, float] = field(default_factory=dict)
 
 
@@ -119,6 +125,7 @@ def forward_flops(
     cx = spec.encoder_channels[-1]
     rev = skips[::-1]
     n_dec = len(spec.decoder_channels)
+    fullres = spec.head_type == "fullres_mask"
     for i, (ch, k, up) in enumerate(
         zip(
             spec.decoder_channels,
@@ -127,6 +134,8 @@ def forward_flops(
         )
     ):
         is_final = i == n_dec - 1
+        if is_final and fullres:
+            break  # fullres head replaces the final 1-channel block
         cat = cx
         if spec.use_skip_connections and not is_final and i < len(rev):
             sf, st, sc = rev[i]
@@ -139,6 +148,20 @@ def forward_flops(
         dec += b * _conv(h, w, cat, ch, k)
         cx = ch
     out["decoder"] = dec
+
+    if fullres:
+        # ---- fullres head: sub-pixel conv + 2-tap nudge + refine ----
+        hc, fu, tu = spec.head_channels, spec.head_freq_up, spec.head_time_up
+        head = b * _conv(h, w, cx, hc * fu * tu, 3)  # sub-pixel conv
+        hf, hw_ = h * fu, w * tu
+        if (hf, hw_) != (f_bins, frames):  # two-tap gather resize
+            head += b * 3.0 * f_bins * hw_ * hc + b * 3.0 * f_bins * frames * hc
+        head += b * _conv(f_bins, frames, hc + spec.input_channels, hc, 3)
+        head += b * _conv(f_bins, frames, hc, spec.output_channels, 3)
+        out["head"] = head
+        out["resize"] = resize
+        out["total"] = float(sum(out.values()))
+        return out
 
     # ---- final bilinear resize back to [f_bins, frames] ----
     if (h, w) != (f_bins, frames):
@@ -246,6 +269,11 @@ def spec_from_model(model) -> ModelSpec:
         decoder_upsample_factors=tuple(model.decoder_upsample_factors),
         use_skip_connections=model.use_skip_connections,
         input_channels=model.input_channels,
+        head_type=getattr(model, "head_type", "resize"),
+        head_channels=getattr(model, "head_channels", 16),
+        head_freq_up=getattr(model, "head_freq_up", 4),
+        head_time_up=getattr(model, "head_time_up", 4),
+        output_channels=getattr(model, "output_channels", 1),
     )
 
 

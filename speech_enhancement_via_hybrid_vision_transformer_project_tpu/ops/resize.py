@@ -69,6 +69,54 @@ def resize_bilinear(x: Array, out_hw: tuple[int, int]) -> Array:
     return xf.astype(dt)
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_interp_taps(
+    in_size: int, out_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lo, hi, frac) per output position — the two taps of the same
+    half-pixel linear map ``_linear_interp_matrix`` encodes densely."""
+    if in_size == 1:
+        z = np.zeros(out_size, np.int64)
+        return z, z, np.zeros(out_size, np.float32)
+    scale = in_size / out_size
+    src = np.clip(
+        (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5,
+        0.0,
+        in_size - 1,
+    )
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    return lo, hi, frac
+
+
+def resize_bilinear_taps(x: Array, out_hw: tuple[int, int]) -> Array:
+    """Bilinear resize of the trailing two axes via two-tap gathers.
+
+    Numerically equivalent to ``resize_bilinear`` (same half-pixel map,
+    fp32 arithmetic) but O(out·C) instead of a dense ``[out, in]`` matmul
+    per axis. The dense form is the right call for the reference decoder
+    resize (C=1, MXU-friendly); for a HIGH-channel, near-identity nudge —
+    the fullres head's 256 -> 257 row fix-up — the dense einsum would cost
+    ~2·257·256·T·C FLOPs (more than the whole 28M model forward at C=16),
+    while the taps form is ~3 FLOPs per output element."""
+    out_h, out_w = out_hw
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    for axis, out_size in ((-2, out_h), (-1, out_w)):
+        in_size = xf.shape[axis]
+        if in_size == out_size:
+            continue
+        lo, hi, frac = _linear_interp_taps(in_size, out_size)
+        a = jnp.take(xf, jnp.asarray(lo), axis=axis)
+        b = jnp.take(xf, jnp.asarray(hi), axis=axis)
+        shape = [1] * xf.ndim
+        shape[axis] = out_size
+        w = jnp.asarray(frac).reshape(shape)
+        xf = (1.0 - w) * a + w * b
+    return xf.astype(dt)
+
+
 def upsample_nearest(x: Array, factors: tuple[int, int]) -> Array:
     """Integer nearest-neighbor upsample of the trailing two axes — the
     decoder's ``nn.Upsample(scale_factor=k, mode='nearest')``. For integer

@@ -149,6 +149,55 @@ class TestFullresHead:
         assert np.isfinite(float(comps["total"]))
 
 
+class TestTapsResize:
+    """Two-tap gather resize must match the dense-matmul resize exactly
+    (same half-pixel map); it exists because the dense form at high
+    channel count costs more FLOPs than the whole model (ops/resize.py)."""
+
+    def test_matches_dense_resize(self):
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.resize import (
+            resize_bilinear,
+            resize_bilinear_taps,
+        )
+
+        rng = np.random.default_rng(0)
+        for shape, out in [
+            ((2, 16, 256, 100), (257, 100)),  # the fullres-head nudge
+            ((1, 3, 64, 50), (257, 200)),     # upsample both axes
+            ((1, 1, 257, 33), (64, 8)),       # downsample both axes
+            ((2, 4, 16, 16), (16, 16)),       # identity
+        ]:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            a = resize_bilinear(x, out)
+            b = resize_bilinear_taps(x, out)
+            assert a.shape == b.shape
+            assert float(jnp.abs(a - b).max()) < 1e-5, (shape, out)
+
+    def test_fullres_flops_match_xla(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(
+            0, str(Path(__file__).resolve().parent.parent / "benchmarks")
+        )
+        from flops import forward_flops, spec_from_model, xla_forward_flops
+
+        m = create_hybrid_vit(
+            {"model": {"head": "fullres_mask"}},
+            compute_dtype=jnp.float32,
+            dropout=0.0,
+            attn_dropout=0.0,
+            drop_path_rate=0.0,
+        )
+        v = m.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 257, 128, 1)), train=False
+        )
+        analytic = forward_flops(spec_from_model(m), 2, 257, 128)
+        assert analytic["head"] > 0
+        xla = xla_forward_flops(m, v, 2, 257, 128)
+        assert abs(analytic["total"] - xla) / xla < 0.02
+
+
 class TestMagnitudeBlendFootgun:
     """Round-5 fix (VERDICT r4 task 4): a magnitude-head checkpoint served
     raw (blend=1.0) measurably harms clean input (-3.25 dB on the 10-15 dB
