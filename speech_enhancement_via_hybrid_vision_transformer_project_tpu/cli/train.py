@@ -202,6 +202,16 @@ def main(argv=None) -> int:
         val_ds = val_ds.shard(jax.process_index(), n_proc)
     print(f"train files: {len(train_ds)}  val files: {len(val_ds)}")
 
+    # int16 batch transfer (round 5): sources are PCM16 WAVs, so shipping
+    # PCM16 and rescaling on device halves the dominant per-epoch cost on
+    # a remote-relay TPU at <= 1 LSB requantization (featurize_batch
+    # rescales; equivalence tested). 'auto' = int16 on accelerator
+    # backends, float32 on CPU (same policy shape as tpu.prng_impl).
+    import jax as _jax
+
+    tdtype = tc.get("transfer_dtype", "auto")
+    if tdtype == "auto":
+        tdtype = "float32" if _jax.default_backend() == "cpu" else "int16"
     train_loader = DataLoader(
         train_ds,
         batch_size=local_bs,
@@ -210,6 +220,7 @@ def main(argv=None) -> int:
         buckets=buckets,
         fixed_bucket=fixed_bucket,
         max_batches=train_max_batches,
+        transfer_dtype=tdtype,
     )
     val_loader = DataLoader(
         val_ds,
@@ -219,6 +230,7 @@ def main(argv=None) -> int:
         buckets=buckets,
         fixed_bucket=fixed_bucket,
         max_batches=val_max_batches if val_max_batches else None,
+        transfer_dtype=tdtype,
     )
     if multihost and val_max_batches == 0:
         # only reachable when some host's val shard is EMPTY

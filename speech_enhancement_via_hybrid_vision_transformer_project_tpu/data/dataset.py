@@ -179,6 +179,7 @@ def collate_waveforms(
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     batch_size: Optional[int] = None,
     fixed_bucket: Optional[int] = None,
+    transfer_dtype: str = "float32",
 ) -> Dict[str, np.ndarray]:
     """Right-pad waveforms so every item in the batch produces the same
     bucketed frame count (zero padding — reference pads spectrograms with
@@ -189,6 +190,12 @@ def collate_waveforms(
     ``fixed_bucket`` forces one frame count for every batch — required in
     multi-host training, where all hosts must execute the identical
     compiled step in lockstep regardless of their local clip lengths.
+
+    ``transfer_dtype='int16'`` (round 5) ships the batch as PCM16 and lets
+    ``featurize_batch`` rescale on device — halving host->device traffic,
+    the dominant per-epoch cost on a remote-relay TPU. The sources are
+    PCM16 WAVs, so requantization costs at most 1 PCM16 LSB (~3e-5),
+    orders below the bf16 compute noise (equivalence tested).
     """
     hop = stft_config.hop_length
     if fixed_bucket is not None:
@@ -208,6 +215,17 @@ def collate_waveforms(
         clean[i, :n] = it["clean_audio"][:n]
         lengths[i] = n
         valid[i] = True
+    if transfer_dtype == "int16":
+        noisy = np.clip(np.rint(noisy * 32768.0), -32768, 32767).astype(
+            np.int16
+        )
+        clean = np.clip(np.rint(clean * 32768.0), -32768, 32767).astype(
+            np.int16
+        )
+    elif transfer_dtype != "float32":
+        raise ValueError(
+            f"transfer_dtype must be float32|int16, got {transfer_dtype!r}"
+        )
     return {
         "noisy_audio": noisy,
         "clean_audio": clean,
@@ -236,6 +254,7 @@ class DataLoader:
         pad_to_batch: bool = True,
         fixed_bucket: Optional[int] = None,
         max_batches: Optional[int] = None,
+        transfer_dtype: str = "float32",
     ):
         """``fixed_bucket``/``max_batches`` are the multi-host lockstep
         knobs: with a fixed frame bucket every host compiles and executes
@@ -252,6 +271,7 @@ class DataLoader:
         self.pad_to_batch = pad_to_batch
         self.fixed_bucket = fixed_bucket
         self.max_batches = max_batches
+        self.transfer_dtype = transfer_dtype
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -312,6 +332,7 @@ class DataLoader:
                             self.buckets,
                             self.batch_size if self.pad_to_batch else None,
                             fixed_bucket=self.fixed_bucket,
+                            transfer_dtype=self.transfer_dtype,
                         )
                         batch["valid"][:] = False
                         out_q.put((bi, batch))
@@ -329,6 +350,7 @@ class DataLoader:
                         self.buckets,
                         self.batch_size if self.pad_to_batch else None,
                         fixed_bucket=self.fixed_bucket,
+                        transfer_dtype=self.transfer_dtype,
                     )
                     out_q.put((bi, batch))
             except Exception as e:  # propagate instead of hanging the consumer

@@ -73,7 +73,15 @@ def featurize_batch(
 
     ``mask_stats``: compute min/max over the utterance's own frames only —
     the faithful equivalent of the reference normalizing before padding.
+
+    int16 batches (loader ``transfer_dtype='int16'``, round 5) are PCM16
+    shipped at half the host->device cost and rescaled to the float path's
+    exact values here, on device.
     """
+    if noisy_audio.dtype == jnp.int16:
+        noisy_audio = noisy_audio.astype(jnp.float32) * (1.0 / 32768.0)
+    if clean_audio.dtype == jnp.int16:
+        clean_audio = clean_audio.astype(jnp.float32) * (1.0 / 32768.0)
     re_n, im_n = stft(noisy_audio, stft_config, method=stft_method)
     re_c, im_c = stft(clean_audio, stft_config, method=stft_method)
     noisy_mag, noisy_phase = magphase(re_n, im_n)

@@ -292,6 +292,64 @@ class TestMagnitudeBlendFootgun:
         assert enh.blend_pivot_db == 10.0
 
 
+class TestInt16Transfer:
+    """Round-5 loader knob: training batches shipped as PCM16 (half the
+    host->device traffic on the relay-fed TPU) must featurize to the same
+    spectrograms as the float32 path — sources are PCM16 WAVs, so the
+    requantization costs at most 1 LSB."""
+
+    def test_collate_int16_featurizes_identically(self):
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.dataset import (
+            collate_waveforms,
+        )
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.pipeline import (
+            featurize_batch,
+        )
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.stft import (
+            STFTConfig,
+        )
+
+        rng = np.random.default_rng(0)
+        # PCM16-grid audio, exactly as load_audio would decode it
+        items = []
+        for n in (9000, 12000):
+            q = rng.integers(-20000, 20000, size=n).astype(np.int16)
+            a = (q.astype(np.float32) / 32768.0)
+            items.append(
+                {"noisy_audio": a, "clean_audio": a * 0.5,
+                 "length": np.int32(n)}
+            )
+        cfg = STFTConfig()
+        b32 = collate_waveforms(items, cfg, transfer_dtype="float32")
+        b16 = collate_waveforms(items, cfg, transfer_dtype="int16")
+        assert b16["noisy_audio"].dtype == np.int16
+        f32 = featurize_batch(
+            jnp.asarray(b32["noisy_audio"]), jnp.asarray(b32["clean_audio"]),
+            jnp.asarray(b32["length"]), cfg,
+        )
+        f16 = featurize_batch(
+            jnp.asarray(b16["noisy_audio"]), jnp.asarray(b16["clean_audio"]),
+            jnp.asarray(b16["length"]), cfg,
+        )
+        # noisy is exactly on the PCM16 grid -> bit-identical; clean was
+        # requantized (x*0.5 off-grid) -> <= 1 LSB
+        assert float(jnp.abs(f16.noisy_spec - f32.noisy_spec).max()) == 0.0
+        assert float(jnp.abs(f16.clean_spec - f32.clean_spec).max()) < 1e-3
+
+    def test_unknown_transfer_dtype_rejected(self):
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data.dataset import (
+            collate_waveforms,
+        )
+
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            collate_waveforms(
+                [{"noisy_audio": np.zeros(10, np.float32),
+                  "clean_audio": np.zeros(10, np.float32),
+                  "length": np.int32(10)}],
+                transfer_dtype="fp8",
+            )
+
+
 class TestParallelMetrics:
     """Round-5 process-pool metric scoring (VERDICT r4 task 6): results
     must be identical to serial in-process scoring."""
