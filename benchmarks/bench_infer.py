@@ -31,6 +31,10 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--head", default="resize",
+                    choices=["resize", "fullres_mask"],
+                    help="output head (fullres_mask = the r5 "
+                         "flagship quality recipe, +7% fwd FLOPs)")
     ap.add_argument("--scaled", action="store_true")
     ap.add_argument("--attention", default="auto",
                     choices=["auto", "pallas", "xla"])
@@ -71,6 +75,7 @@ def main() -> int:
     cfg = STFTConfig()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     overrides = dict(
+        head_type=args.head,
         compute_dtype=dtype, dropout=0.0, attn_dropout=0.0, drop_path_rate=0.0
     )
     if args.scaled:

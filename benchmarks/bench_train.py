@@ -25,6 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--head", default="resize",
+                    choices=["resize", "fullres_mask"],
+                    help="output head (fullres_mask = the r5 "
+                         "flagship quality recipe, +7% fwd FLOPs)")
     ap.add_argument("--scaled", action="store_true",
                     help="12L/1024d/16h stress config")
     ap.add_argument("--batch", type=int, default=16)
@@ -93,6 +97,8 @@ def main() -> int:
         set_prng_impl(args.prng)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     overrides = dict(compute_dtype=dtype, remat=args.remat)
+    if args.head != "resize":
+        overrides.update(head_type=args.head)
     if args.scaled:
         overrides.update(
             embed_dim=1024, num_heads=16, num_layers=12,
