@@ -149,6 +149,103 @@ class TestFullresHead:
         assert np.isfinite(float(comps["total"]))
 
 
+class TestRound5Scripts:
+    """Smoke the committed r5 harnesses (oracle reference points +
+    protocol report) on tiny inputs."""
+
+    def test_oracle_heads_runs_and_orders_sanely(self, tmp_path, capsys):
+        import sys
+        from pathlib import Path
+
+        from speech_enhancement_via_hybrid_vision_transformer_project_tpu.data import (
+            save_wav,
+        )
+
+        sys.path.insert(
+            0, str(Path(__file__).resolve().parent.parent / "benchmarks")
+        )
+        import importlib
+
+        oracle_heads = importlib.import_module("oracle_heads")
+        rng = np.random.default_rng(1)
+        sr = 16000
+        for i in range(2):
+            t = np.arange(sr) / sr
+            clean = (0.4 * np.sin(2 * np.pi * (200 + 40 * i) * t)).astype(
+                np.float32
+            )
+            noisy = clean + 0.1 * rng.standard_normal(sr).astype(np.float32)
+            save_wav(tmp_path / "clean" / f"p{i}.wav", clean, sr)
+            save_wav(tmp_path / "noisy" / f"p{i}.wav", noisy, sr)
+        out = tmp_path / "oracle.json"
+        argv = sys.argv
+        sys.argv = [
+            "oracle_heads", "--noisy-dir", str(tmp_path / "noisy"),
+            "--clean-dir", str(tmp_path / "clean"), "--out", str(out),
+        ]
+        try:
+            assert oracle_heads.main() == 0
+        finally:
+            sys.argv = argv
+        import json
+
+        r = json.loads(out.read_text())
+        assert r["n"] == 2
+        # geometry ordering: fullres IRM >= blurred IRM >= blurred+t4
+        assert r["irm257_gain_mean"] >= r["mask64_gain_mean"]
+        assert r["mask64_gain_mean"] >= r["mask64_t4_gain_mean"] - 1e-6
+
+    def test_protocol_report_joins_and_bins(self, tmp_path):
+        import importlib
+        import json
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(
+            0, str(Path(__file__).resolve().parent.parent / "benchmarks")
+        )
+        protocol_report = importlib.import_module("protocol_report")
+        rng = np.random.default_rng(0)
+        per_file, manifest = {}, {}
+        for i in range(30):
+            name = f"t{i:03d}.wav"
+            unseen = i >= 24
+            per_file[name] = {
+                "si_sdr_improvement": float(rng.normal(6 if not unseen else 3, 2)),
+                "lsd_improvement": 0.5,
+                "stoi_improvement": 0.05,
+                "snr_improvement": 5.0,
+            }
+            manifest[name] = {
+                "split": "test",
+                "family": "impulsive" if unseen else "pink",
+                "snr_db": float(rng.uniform(-5, 15)),
+                "seconds": 2.0,
+                **({"unseen": True} if unseen else {}),
+            }
+        (tmp_path / "eval.json").write_text(json.dumps({"per_file": per_file}))
+        (tmp_path / "manifest.json").write_text(json.dumps(manifest))
+        out = tmp_path / "report.json"
+        argv = sys.argv
+        sys.argv = [
+            "protocol_report", "--eval", str(tmp_path / "eval.json"),
+            "--manifest", str(tmp_path / "manifest.json"), "--out", str(out),
+        ]
+        try:
+            assert protocol_report.main() == 0
+        finally:
+            sys.argv = argv
+        r = json.loads(out.read_text())
+        assert r["pooled"]["n"] == 30
+        assert r["unseen_family"]["n"] == 6
+        assert r["seen_families"]["n"] == 24
+        lo, hi = r["seen_families"]["mean_ci95"]
+        assert lo < r["seen_families"]["mean"] < hi
+        assert sum(
+            b["n"] for b in r["pooled"]["by_mixing_snr"].values()
+        ) == 30
+
+
 class TestTapsResize:
     """Two-tap gather resize must match the dense-matmul resize exactly
     (same half-pixel map); it exists because the dense form at high
