@@ -111,6 +111,13 @@ def main():
              "magnitude (PERF.md r4; fixture saved with that config)",
     )
     ap.add_argument(
+        "--head",
+        default="resize",
+        choices=["resize", "fullres_mask"],
+        help="output head (fullres_mask = the r5 sub-pixel + input-skip "
+             "head; pair with --mask-head — PERF.md r5)",
+    )
+    ap.add_argument(
         "--log-compression",
         action="store_true",
         help="train on log-compressed magnitudes (loss-recipe experiments)",
@@ -133,7 +140,7 @@ def main():
     rng = np.random.default_rng(args.seed)
     train_c, train_n = make_pairs(args.pairs, args.seconds, rng)
 
-    model = HybridViT(**TINY)
+    model = HybridViT(**TINY, head_type=args.head)
     variables = model.init(
         jax.random.PRNGKey(0), normalize(train_n[:1])[..., None], train=False
     )
@@ -202,9 +209,13 @@ def main():
 
     # Held-out check: the fixture must actually denoise.
     variables = {"params": params, "batch_stats": bstats}
-    fx_cfg = (
-        {"model": {"output_mode": "mask"}} if args.mask_head else {}
-    )
+    fx_cfg = {"model": {}}
+    if args.mask_head:
+        fx_cfg["model"]["output_mode"] = "mask"
+    if args.head != "resize":
+        fx_cfg["model"]["head"] = args.head
+    if not fx_cfg["model"]:
+        fx_cfg = {}
     enh = AudioEnhancer(model, variables, fx_cfg, buckets=(64, 128, 256), mask_padding=True)
     from speech_enhancement_via_hybrid_vision_transformer_project_tpu.evaluation.metrics import (
         log_spectral_distance,
