@@ -150,12 +150,12 @@ def forward_flops(
     out["decoder"] = dec
 
     if fullres:
-        # ---- fullres head: sub-pixel conv + 2-tap nudge + refine ----
+        # ---- fullres head: sub-pixel conv + bilinear nudge + refine ----
         hc, fu, tu = spec.head_channels, spec.head_freq_up, spec.head_time_up
         head = b * _conv(h, w, cx, hc * fu * tu, 3)  # sub-pixel conv
         hf, hw_ = h * fu, w * tu
-        if (hf, hw_) != (f_bins, frames):  # two-tap gather resize
-            head += b * 3.0 * f_bins * hw_ * hc + b * 3.0 * f_bins * frames * hc
+        if (hf, hw_) != (f_bins, frames):  # dense-matmul bilinear nudge
+            head += b * _resize(hf, hw_, f_bins, frames, hc)
         head += b * _conv(f_bins, frames, hc + spec.input_channels, hc, 3)
         head += b * _conv(f_bins, frames, hc, spec.output_channels, 3)
         out["head"] = head

@@ -143,7 +143,16 @@ class Evaluator:
         if metric_workers is None:
             import os
 
-            metric_workers = min(4, os.cpu_count() or 1)
+            # Default: leave 2 cores for the eval pipeline itself (audio
+            # decode + batch dispatch + D2H). MEASURED (r5, 48-pair
+            # protocol on the 2-vCPU relay host): a 4-worker pool is
+            # SLOWER than serial there (4.6 vs 5.5 audio-s/s — the
+            # pipeline already saturates both cores and pickling audio
+            # to workers adds cost), so small hosts resolve to serial;
+            # the pool pays on many-core eval hosts where per-file
+            # PESQ/STOI (~0.14 s/clip) is the dominant serial term
+            # (e.g. an 824-clip VoiceBank sweep).
+            metric_workers = max(1, min(8, (os.cpu_count() or 1) - 2))
         pool = (
             _metric_pool(metric_workers)
             if metric_workers and metric_workers > 1

@@ -321,16 +321,15 @@ class HybridViT(nn.Module):
                 b, f0 * fu, t0 * tu, self.head_channels
             )
             # 256 -> 257 etc.: a near-identity bilinear nudge (the learned
-            # 4x upsample has already done the real work). Two-tap gather
-            # form: the dense-matmul resize at 16 channels would cost more
-            # FLOPs than the entire model (see ops/resize.py).
+            # 4x upsample has already done the real work). DENSE matmul
+            # form on purpose: ~25 GF at batch 32 (2.6% of the step) and
+            # MXU-friendly; the two-tap gather variant
+            # (ops/resize.py:resize_bilinear_taps, numerically identical)
+            # measured ~16 ms SLOWER on v5e — TPU row-gathers lower
+            # poorly (PERF.md r5).
             if h.shape[1:3] != (in_f, in_t):
-                from ..ops.resize import resize_bilinear_taps
-
                 h = jnp.moveaxis(
-                    resize_bilinear_taps(
-                        jnp.moveaxis(h, -1, 1), (in_f, in_t)
-                    ),
+                    resize_bilinear(jnp.moveaxis(h, -1, 1), (in_f, in_t)),
                     1,
                     -1,
                 )

@@ -94,12 +94,14 @@ def resize_bilinear_taps(x: Array, out_hw: tuple[int, int]) -> Array:
     """Bilinear resize of the trailing two axes via two-tap gathers.
 
     Numerically equivalent to ``resize_bilinear`` (same half-pixel map,
-    fp32 arithmetic) but O(out·C) instead of a dense ``[out, in]`` matmul
-    per axis. The dense form is the right call for the reference decoder
-    resize (C=1, MXU-friendly); for a HIGH-channel, near-identity nudge —
-    the fullres head's 256 -> 257 row fix-up — the dense einsum would cost
-    ~2·257·256·T·C FLOPs (more than the whole 28M model forward at C=16),
-    while the taps form is ~3 FLOPs per output element."""
+    fp32 arithmetic, tested to 2.4e-7) but O(out·C) FLOPs instead of the
+    dense ``[out, in]`` matmul per axis. MEASURED CAVEAT (r5, v5e): on
+    TPU the row-gathers this lowers to are far SLOWER than the dense
+    matmul despite the FLOP saving — swapping it into the fullres head's
+    256->257 nudge cost ~16 ms/step at batch 32 while the dense form is
+    ~25 GF ≈ 0.3 ms there. Use the dense ``resize_bilinear`` on TPU;
+    this variant exists for gather-friendly backends and as the
+    numerical cross-check of the dense operator."""
     out_h, out_w = out_hw
     dt = x.dtype
     xf = x.astype(jnp.float32)

@@ -253,8 +253,9 @@ class TestRound5Scripts:
 
 class TestTapsResize:
     """Two-tap gather resize must match the dense-matmul resize exactly
-    (same half-pixel map); it exists because the dense form at high
-    channel count costs more FLOPs than the whole model (ops/resize.py)."""
+    (same half-pixel map). The head uses the DENSE form on TPU (gathers
+    measured ~16 ms slower on v5e, PERF.md r5); the taps variant stays
+    as the numerical cross-check and for gather-friendly backends."""
 
     def test_matches_dense_resize(self):
         from speech_enhancement_via_hybrid_vision_transformer_project_tpu.ops.resize import (
