@@ -23,8 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config-dir", default="config")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--max-batch", type=int, default=16,
-                   help="dynamic-batcher coalescing limit")
+    p.add_argument("--max-batch", type=int, default=128,
+                   help="dynamic-batcher coalescing limit (the r5 batch "
+                        "sweep put the v5e MFU knee at 128: 26.5% MFU / "
+                        "5,228 audio-s/s vs 22.0% / 4,333 at 32 — "
+                        "PERF.md r5; lower it for latency-sensitive "
+                        "deployments)")
     p.add_argument("--max-wait-ms", type=float, default=10.0,
                    help="max time a request waits for batch peers")
     p.add_argument("--io-dtype", default="int16",
