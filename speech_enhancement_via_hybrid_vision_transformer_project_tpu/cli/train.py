@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="blend a gradient-floored log-magnitude L1 into "
                         "the loss (0.05 is the measured LSD fix, "
                         "PERF.md #16; default 0 = reference loss parity)")
+    p.add_argument("--si-sdr-weight", type=float, default=None,
+                   help="add -w * mean SI-SDR(dB) of the reconstructed "
+                        "waveform (predicted magnitude + noisy phase, "
+                        "iSTFT inside the train step) — optimizes the "
+                        "benchmark metric directly (default 0 = "
+                        "reference loss parity; PERF.md r5)")
     # multi-host (SURVEY §5 distributed backend): every host runs this CLI
     # with the same flags plus its own --process-id
     p.add_argument("--coordinator", default=None,
@@ -135,6 +141,8 @@ def main(argv=None) -> int:
         set_config_value(config, "model.head", args.head)
     if args.log_l1_weight is not None:
         set_config_value(config, "training.loss.log_l1_weight", args.log_l1_weight)
+    if args.si_sdr_weight is not None:
+        set_config_value(config, "training.loss.si_sdr_weight", args.si_sdr_weight)
     if args.data_parallel is not None:
         set_config_value(config, "mesh.data_parallel", args.data_parallel)
     if args.model_parallel is not None:

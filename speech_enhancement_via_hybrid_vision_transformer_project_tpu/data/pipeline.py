@@ -38,6 +38,14 @@ class FeaturizedBatch(NamedTuple):
     clean_over_max: Array  # [B, F, T] clean_mag / noisy_max
 
 
+def int16_to_float(x: Array) -> Array:
+    """PCM16 loader batches (transfer_dtype='int16') -> the float path's
+    exact values; float input passes through as float32."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    return x.astype(jnp.float32)
+
+
 def minmax_normalize(
     mag: Array, frame_mask: Optional[Array] = None
 ) -> tuple[Array, Array, Array]:
@@ -78,10 +86,8 @@ def featurize_batch(
     shipped at half the host->device cost and rescaled to the float path's
     exact values here, on device.
     """
-    if noisy_audio.dtype == jnp.int16:
-        noisy_audio = noisy_audio.astype(jnp.float32) * (1.0 / 32768.0)
-    if clean_audio.dtype == jnp.int16:
-        clean_audio = clean_audio.astype(jnp.float32) * (1.0 / 32768.0)
+    noisy_audio = int16_to_float(noisy_audio)
+    clean_audio = int16_to_float(clean_audio)
     re_n, im_n = stft(noisy_audio, stft_config, method=stft_method)
     re_c, im_c = stft(clean_audio, stft_config, method=stft_method)
     noisy_mag, noisy_phase = magphase(re_n, im_n)

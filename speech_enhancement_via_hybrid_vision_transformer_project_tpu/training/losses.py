@@ -155,6 +155,15 @@ class LossConfig:
     log_eps: float = 1e-2
     use_log_compression: bool = False
     use_frame_mask: bool = False
+    # Time-domain SI-SDR term (round-5 framework extension, no reference
+    # counterpart): the train step reconstructs the estimated waveform
+    # (predicted magnitude + noisy phase, the exact inference pipeline)
+    # inside the jitted program and ADDS -w * mean SI-SDR(dB) to the
+    # loss — directly optimizing the benchmark metric the magnitude L1
+    # only proxies. Applied in training/trainer.py:make_step_fns (needs
+    # phase + waveforms, which combined_loss never sees). 0 = off
+    # (reference loss parity).
+    si_sdr_weight: float = 0.0
 
     @classmethod
     def from_config(cls, config: dict) -> "LossConfig":
@@ -168,7 +177,37 @@ class LossConfig:
             log_eps=lc.get("log_eps", 1e-2),
             use_log_compression=lc.get("use_log_compression", False),
             use_frame_mask=lc.get("use_frame_mask", False),
+            si_sdr_weight=lc.get("si_sdr_weight", 0.0),
         )
+
+
+def batch_si_sdr_db(
+    ref: Array, est: Array, valid: Optional[Array] = None
+) -> Array:
+    """Differentiable mean SI-SDR (dB) over valid batch rows.
+
+    Same definition as evaluation.metrics.si_sdr (zero-mean, scale-
+    invariant projection, 10*log10 power ratio; reference:
+    evaluation/metrics.py:100-145) but in jax and batched, with eps
+    floors so silent/degenerate rows produce a large-negative finite
+    value instead of NaN (the non-finite-update guard would otherwise
+    discard the step)."""
+    ref = ref.astype(jnp.float32)
+    est = est.astype(jnp.float32)
+    ref = ref - ref.mean(axis=-1, keepdims=True)
+    est = est - est.mean(axis=-1, keepdims=True)
+    ref_energy = jnp.maximum((ref * ref).sum(axis=-1), 1e-8)
+    alpha = (ref * est).sum(axis=-1) / ref_energy
+    proj = alpha[:, None] * ref
+    noise = est - proj
+    ratio = (proj * proj).sum(axis=-1) / jnp.maximum(
+        (noise * noise).sum(axis=-1), 1e-8
+    )
+    si = 10.0 * jnp.log10(jnp.maximum(ratio, 1e-8))
+    if valid is None:
+        return si.mean()
+    w = valid.astype(jnp.float32)
+    return (si * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def combined_loss(

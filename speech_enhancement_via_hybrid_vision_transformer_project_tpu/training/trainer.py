@@ -44,7 +44,7 @@ from ..parallel.mesh import (
 from ..parallel.sharding import shard_variables
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger, Stopwatch
-from .losses import LossConfig, combined_loss
+from .losses import LossConfig, batch_si_sdr_db, combined_loss
 from .optimizer import chain_with_clip, create_optimizer, create_scheduler
 
 Array = jax.Array
@@ -178,6 +178,29 @@ def make_step_fns(
         pred = m * feats.noisy_over_max
         return pred[..., None], feats.clean_over_max[..., None]
 
+    def _si_sdr_term(pred, feats, batch):
+        """-mean SI-SDR(dB) of the reconstructed waveform vs clean
+        (loss.si_sdr_weight, round 5): the train step runs the exact
+        inference reconstruction — predicted magnitude * noisy_max +
+        noisy phase -> iSTFT — inside the jitted program and optimizes
+        the benchmark metric directly. Padded rows are excluded; padded
+        tails are zeros in both signals (zero clean padding, ~zero
+        estimated magnitude there), so no frame masking is needed."""
+        from ..data.pipeline import int16_to_float
+        from ..ops.stft import reconstruct
+
+        est_mag = pred[..., 0].astype(jnp.float32) * jnp.maximum(
+            feats.noisy_max, 1e-8
+        )[:, None, None]
+        length = batch["clean_audio"].shape[-1]
+        est = reconstruct(
+            est_mag, feats.noisy_phase, stft_cfg, length=length,
+            method="matmul",
+        )
+        ref = int16_to_float(batch["clean_audio"])
+        si = batch_si_sdr_db(ref, est, valid=batch["valid"])
+        return -si, si
+
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array):
         step_rng = jax.random.fold_in(rng, state.step)
         aug_key, drop_key = jax.random.split(step_rng)
@@ -203,6 +226,12 @@ def make_step_fns(
                 frame_mask=feats.frame_mask,
                 sample_valid=valid,
             )
+            if loss_cfg.si_sdr_weight > 0:
+                term, si = _si_sdr_term(pred, feats, batch)
+                total = total + loss_cfg.si_sdr_weight * term
+                comps = dict(comps)
+                comps["si_sdr_db"] = si
+                comps["total"] = total
             return total, (comps, mutated["batch_stats"])
 
         (_, (comps, new_stats)), grads = jax.value_and_grad(
@@ -264,6 +293,11 @@ def make_step_fns(
             frame_mask=feats.frame_mask,
             sample_valid=batch["valid"],
         )
+        if loss_cfg.si_sdr_weight > 0:
+            term, si = _si_sdr_term(pred, feats, batch)
+            comps = dict(comps)
+            comps["si_sdr_db"] = si
+            comps["total"] = comps["total"] + loss_cfg.si_sdr_weight * term
         return comps
 
     if mesh is not None:
